@@ -1,0 +1,10 @@
+from .coo_csr import (
+    coo_to_csr, csr_to_coo, csr_expand_symmetric, csr_drop_upper,
+    fix_diagonal_zeros, csr_row_permute,
+)
+from .reorder import reverse_cuthill_mckee, rcm_reorder, sigma_sort_rows
+from .features import extract_features, MatrixFeatures
+from .build import (
+    build_csr, build_coo, build_ell, build_sellcs, build_bsr, build_dia,
+    build_ldu,
+)

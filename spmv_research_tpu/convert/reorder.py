@@ -1,0 +1,74 @@
+"""Row/column reordering: Reverse Cuthill–McKee and degree/σ sorting.
+
+RCM is the reference's bandwidth-reduction pass (``lib/rcm/rcm_gen.c:127``
+``reverse_cuthill_mckee``, applied when ``USE_RCM_REORDERING=1`` —
+``bench.cpp:592-598``). On TPU, bandwidth reduction matters even more than on
+CPU: it gives the column locality that lets x-gathers hit VMEM-resident
+x-blocks. We use scipy's RCM when available (same BFS algorithm) with a numpy
+fallback, and add σ-sorting (windowed sort of rows by length) used by SELL-C-σ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.host import HostCSR
+from .coo_csr import csr_row_permute
+
+
+def reverse_cuthill_mckee(csr: HostCSR, symmetric: bool = True) -> np.ndarray:
+    """Return the RCM permutation `perm` (new index i ← old index perm[i])."""
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee as _rcm
+
+        mat = sp.csr_matrix((np.ones(csr.nnz), csr.ja, csr.ia), shape=(csr.m, csr.n))
+        return np.asarray(_rcm(mat, symmetric_mode=symmetric), dtype=np.int64)
+    except ImportError:  # pragma: no cover - scipy is baked in
+        return _rcm_numpy(csr)
+
+
+def _rcm_numpy(csr: HostCSR) -> np.ndarray:
+    """BFS-based RCM (Cuthill–McKee then reverse), pure numpy/python."""
+    m = csr.m
+    deg = csr.row_lengths()
+    visited = np.zeros(m, dtype=bool)
+    order = []
+    ia, ja = csr.ia, csr.ja
+    for start in np.argsort(deg, kind="stable"):
+        if visited[start]:
+            continue
+        queue = [int(start)]
+        visited[start] = True
+        while queue:
+            u = queue.pop(0)
+            order.append(u)
+            nbrs = ja[ia[u] : ia[u + 1]]
+            nbrs = [int(v) for v in nbrs if not visited[v]]
+            nbrs.sort(key=lambda v: deg[v])
+            for v in nbrs:
+                visited[v] = True
+                queue.append(v)
+    return np.array(order[::-1], dtype=np.int64)
+
+
+def rcm_reorder(csr: HostCSR) -> tuple[HostCSR, np.ndarray]:
+    """Apply RCM symmetric permutation; returns (reordered_csr, perm)."""
+    perm = reverse_cuthill_mckee(csr)
+    return csr_row_permute(csr, perm, permute_columns=True), perm
+
+
+def sigma_sort_rows(csr: HostCSR, sigma: int) -> np.ndarray:
+    """σ-sorting permutation: within consecutive windows of `sigma` rows, sort
+    rows by descending length (SELL-C-σ preprocessing; reference
+    ``sell_sorted.cpp:184``). sigma <= 1 → identity; sigma >= m → global sort."""
+    lengths = csr.row_lengths()
+    m = csr.m
+    if sigma <= 1:
+        return np.arange(m, dtype=np.int64)
+    perm = np.empty(m, dtype=np.int64)
+    for w0 in range(0, m, sigma):
+        w1 = min(w0 + sigma, m)
+        local = np.argsort(-lengths[w0:w1], kind="stable")
+        perm[w0:w1] = w0 + local
+    return perm

@@ -1,0 +1,251 @@
+"""Benchmark runner: the reference measurement protocol on TPU.
+
+Reproduces ``bench_spmv.cpp``'s protocol (SURVEY.md §6):
+
+* warm-up calls (compile + steady clocks — the role of the GPU 1000-iter
+  warm-up, ``bench_spmv.cpp:287-294``),
+* steady-state timed loop: at least ``min_num_loops`` iterations AND at least
+  ``min_time_s`` seconds (``:335``); per-iteration wall times collected; report
+  min / median / max; the median is the headline (``:378-384``),
+* GFLOPS = 2·nnz_expanded / t_median ×1e-9 (``:404``),
+* per-run differential accuracy gate + 8 error metrics (``:108-235``),
+* CSV rows on stderr with the exact reference schemas (``:414-563``), real and
+  synthetic variants, labels row via :func:`csv_labels`,
+* plus TPU-native roofline columns (achieved GB/s, fraction of speed-of-light).
+
+TPU timing detail: host↔device dispatch latency (worse over a tunneled
+connection) would swamp microsecond kernels, so for square matrices the timed
+unit is a jitted chain of ``inner_iters`` dependent SpMVs (x ← A·x̂ with values
+pre-scaled so iterates stay bounded); reported per-iteration time divides by
+``inner_iters``. Non-square matrices fall back to per-call timing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.host import HostCSR
+from ..ops import spmv as spmv_dispatch
+from ..utils import roofline as rl
+from .config import BenchConfig
+from .metrics import ErrorMetrics, check_accuracy
+
+
+@dataclasses.dataclass
+class BenchResult:
+    matrix_name: str
+    format_name: str
+    impl: str
+    num_devices: int
+    time_total: float
+    time_iter_min: float
+    time_iter_median: float
+    time_iter_max: float
+    num_loops: int
+    gflops: float
+    nnz_per_s: float
+    csr_mem_footprint_mb: float
+    mem_footprint_mb: float
+    mem_ratio: float
+    achieved_gbps: float
+    roofline_frac: float
+    metrics: ErrorMetrics
+    m: int
+    n: int
+    nnz: int
+    symmetric: bool
+    time_convert: float = 0.0
+
+
+REAL_LABELS = (
+    "matrix_name,num_threads,csr_m,csr_n,csr_nnz,symmetry,time,time_iter_min,"
+    "time_iter_median,time_iter_max,gflops,csr_mem_footprint,W_avg,J_estimated,"
+    "format_name,m,n,nnz,mem_footprint,mem_ratio,num_loops,"
+    "spmv_mae,spmv_max_ae,spmv_mse,spmv_mape,spmv_smape,spmv_lnQ_error,"
+    "spmv_mlare,spmv_gmare"
+)
+
+SYNTH_LABELS = (
+    "matrix_name,distribution,placement,seed,nr_rows,nr_cols,nr_nzeros,density,"
+    "mem_footprint,mem_range,avg_nnz_per_row,std_nnz_per_row,avg_bw,std_bw,"
+    "avg_bw_scaled,std_bw_scaled,avg_sc,std_sc,avg_sc_scaled,std_sc_scaled,"
+    "skew,avg_num_neighbours,cross_row_similarity,format_name,time,gflops,"
+    "W_avg,J_estimated"
+)
+
+# TPU-native extension columns appended to either schema
+TPU_EXTRA_LABELS = ",achieved_GBps,roofline_frac,time_convert"
+
+
+def csv_labels(synthetic: bool = False, tpu_extra: bool = True) -> str:
+    base = SYNTH_LABELS if synthetic else REAL_LABELS
+    return base + (TPU_EXTRA_LABELS if tpu_extra else "")
+
+
+def _timed_step_fn(A, x0: jnp.ndarray, impl: Optional[str], inner: int):
+    """Build the jitted timed unit.
+
+    Square: chained dependent SpMVs (no CSE possible; values must be
+    pre-scaled by the caller to keep iterates bounded). Non-square: one SpMV.
+    """
+    if A.m == A.n and inner > 1:
+        @jax.jit
+        def step(x):
+            def body(_, v):
+                return spmv_dispatch(A, v, impl=impl)
+            return jax.lax.fori_loop(0, inner, body, x)
+        return step, inner
+    @jax.jit
+    def step(x):
+        return spmv_dispatch(A, x, impl=impl)
+    return step, 1
+
+
+def _scale_for_iteration(host: HostCSR, A):
+    """Return format A with values scaled so that ‖A‖∞ ≤ 1 (iterates of x←A·x
+    stay bounded through the timed chain). Timing-only copy."""
+    row_abs_sum = np.zeros(host.m)
+    np.add.at(row_abs_sum, np.repeat(np.arange(host.m), host.row_lengths()),
+              np.abs(host.a))
+    norm = float(row_abs_sum.max()) if host.m else 1.0
+    if norm == 0 or not np.isfinite(norm):
+        return A
+    c = 1.0 / norm
+    return jax.tree_util.tree_map(
+        lambda leaf: leaf * jnp.asarray(c, leaf.dtype)
+        if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf, A)
+
+
+def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
+               impl: Optional[str] = None, matrix_name: str = "matrix",
+               x: Optional[np.ndarray] = None,
+               time_convert: float = 0.0) -> BenchResult:
+    """Run the full protocol for one (matrix, format) pair."""
+    cfg = config or BenchConfig()
+    dtype = jnp.dtype(cfg.dtype)
+    rng = np.random.Generator(np.random.PCG64(7))
+    if x is None:
+        x = rng.uniform(0.0, 1.0, host.n)
+    xd = jnp.asarray(x, dtype=dtype)
+
+    # --- accuracy: single un-scaled call, y seeded analog (fresh output) ---
+    y = np.asarray(jax.block_until_ready(spmv_dispatch(A, xd, impl=impl)),
+                   dtype=np.float64)
+    metrics = check_accuracy(host, x, y, value_dtype=np.dtype(cfg.dtype))
+
+    # --- timing ---
+    A_t = _scale_for_iteration(host, A) if A.m == A.n else A
+    inner = cfg.inner_iters
+    if inner is None:
+        # target ≥ ~25 ms per timed step to amortize dispatch latency
+        probe_fn, _ = _timed_step_fn(A_t, xd, impl, 1)
+        jax.block_until_ready(probe_fn(xd))
+        t0 = time.perf_counter()
+        jax.block_until_ready(probe_fn(xd))
+        t_one = max(time.perf_counter() - t0, 1e-7)
+        inner = int(np.clip(0.025 / t_one, 1, 512))
+    step, inner = _timed_step_fn(A_t, xd, impl, inner)
+
+    for _ in range(max(cfg.warmup_iters // max(inner, 1), 2)):
+        xw = jax.block_until_ready(step(xd))
+
+    times = []
+    t_total = 0.0
+    while t_total < cfg.min_time_s or len(times) * inner < cfg.min_num_loops:
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(xd))
+        dt = time.perf_counter() - t0
+        times.append(dt / inner)
+        t_total += dt
+        if len(times) > 100000:
+            break
+
+    ts = np.sort(np.array(times))
+    t_min, t_med, t_max = float(ts[0]), float(np.median(ts)), float(ts[-1])
+    num_loops = len(times) * inner
+
+    gflops = 2.0 * host.nnz_expanded / t_med * 1e-9
+    nnz_per_s = host.nnz_expanded / t_med
+
+    csr_fp = host.mem_footprint_bytes(value_bytes=dtype.itemsize)
+    fmt_fp = A.mem_footprint_bytes()
+    spec = rl.device_spec()
+    sol_t = rl.spmv_roofline_time(A, spec)
+    achieved_gbps = rl.spmv_bytes(A) / t_med / 1e9
+
+    return BenchResult(
+        matrix_name=matrix_name,
+        format_name=A.format_name,
+        impl=impl or "auto",
+        num_devices=jax.device_count(),
+        time_total=t_total,
+        time_iter_min=t_min,
+        time_iter_median=t_med,
+        time_iter_max=t_max,
+        num_loops=num_loops,
+        gflops=gflops,
+        nnz_per_s=nnz_per_s,
+        csr_mem_footprint_mb=csr_fp / 2**20,
+        mem_footprint_mb=fmt_fp / 2**20,
+        mem_ratio=fmt_fp / csr_fp,
+        achieved_gbps=achieved_gbps,
+        roofline_frac=sol_t / t_med,
+        metrics=metrics,
+        m=host.m,
+        n=host.n,
+        nnz=host.nnz,
+        symmetric=host.symmetric_storage,
+        time_convert=time_convert,
+    )
+
+
+def csv_row_real(r: BenchResult, tpu_extra: bool = True) -> str:
+    f = [
+        r.matrix_name, r.num_devices, r.m, r.n, r.nnz, int(r.symmetric),
+        f"{r.time_total:.6f}", f"{r.time_iter_min:.9f}",
+        f"{r.time_iter_median:.9f}", f"{r.time_iter_max:.9f}",
+        f"{r.gflops:.6f}", f"{r.csr_mem_footprint_mb:.6f}",
+        "0", "0",  # W_avg, J_estimated: no RAPL analog via the TPU tunnel
+        r.format_name, r.m, r.n, r.nnz, f"{r.mem_footprint_mb:.6f}",
+        f"{r.mem_ratio:.6f}", r.num_loops,
+        *(f"{v:.6g}" for v in r.metrics.as_csv_fields()),
+    ]
+    row = ",".join(str(v) for v in f)
+    if tpu_extra:
+        row += f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},{r.time_convert:.4f}"
+    return row
+
+
+def csv_row_synthetic(r: BenchResult, params, feats, tpu_extra: bool = True) -> str:
+    """Synthetic-schema row (``bench_spmv.cpp:529-563``): generator params +
+    measured features + format/time/gflops."""
+    f = [
+        "synthetic", params.distribution, params.placement, params.seed,
+        feats.m, feats.n, feats.nnz, f"{feats.density:.6f}",
+        f"{feats.mem_footprint_mb:.6f}", feats.mem_range,
+        f"{feats.nnz_per_row_avg:.6f}", f"{feats.nnz_per_row_std:.6f}",
+        f"{feats.bw_avg:.6f}", f"{feats.bw_std:.6f}",
+        f"{feats.bw_scaled_avg:.6f}", f"{feats.bw_scaled_std:.6f}",
+        f"{feats.scatter_avg:.6f}", f"{feats.scatter_std:.6f}",
+        f"{feats.scatter_scaled_avg:.6f}", f"{feats.scatter_scaled_std:.6f}",
+        f"{feats.skew:.6f}", f"{feats.num_neighbours_avg:.6f}",
+        f"{feats.cross_row_similarity_avg:.6f}",
+        r.format_name, f"{r.time_total:.6f}", f"{r.gflops:.6f}", "0", "0",
+    ]
+    row = ",".join(str(v) for v in f)
+    if tpu_extra:
+        row += f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},{r.time_convert:.4f}"
+    return row
+
+
+def emit(row: str, to_stderr: bool = True) -> None:
+    """CSV protocol: structured rows on stderr, human logs on stdout
+    (``run.sh:851-857`` splits the two channels)."""
+    print(row, file=sys.stderr if to_stderr else sys.stdout, flush=True)

@@ -1,0 +1,2 @@
+from .matrix_market import mtx_read, mtx_write
+from .openfoam import read_openfoam_matrix_dir
