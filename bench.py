@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Driver benchmark: CSR SpMV roofline fraction on the scircuit twin.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+metric: fraction of the CSR-storage HBM roofline achieved by the best
+available SpMV implementation on a SuiteSparse-twin synthetic matrix
+(scircuit twin — parameters from the reference's twin table,
+``benchmark_code/BENCH/config.sh:399-455``; real SuiteSparse downloads are
+unavailable in this zero-egress container).
+
+vs_baseline = value / 0.80 (the BASELINE.md 1-chip target: ≥80% of the
+CSR HBM roofline).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spmv_research_tpu.gen import generate_from_line
+    from spmv_research_tpu.convert import build_csr, rcm_reorder
+    from spmv_research_tpu.ops import available_impls
+    from spmv_research_tpu.harness import BenchConfig, bench_spmv
+    from spmv_research_tpu.utils import roofline as rl
+
+    # scircuit twin (reference twin-parameter table format)
+    line = "170998 170998 5.6 4.39 normal random 0.297 61.9 0.803 0.633 14 scircuit_twin"
+    host, feats = generate_from_line(line)
+    host, _ = rcm_reorder(host)
+
+    spec = rl.device_spec()
+    dtype = jnp.float32
+    sol_nnz_s = rl.csr_roofline_nnz_per_s(host.nnz, host.m, host.n,
+                                          np.dtype("float32").itemsize, spec)
+
+    cfg = BenchConfig(min_num_loops=64, min_time_s=2.0)
+    best = None
+    candidates = []
+    from spmv_research_tpu.convert import build_sellcs
+
+    fmts = {"CSR": build_csr(host, dtype=dtype)}
+    try:
+        from spmv_research_tpu.convert.build_pallas import build_best  # later rounds
+        fmts.update(build_best(host, dtype=dtype))
+    except ImportError:
+        pass
+
+    for name, A in fmts.items():
+        for impl in available_impls("spmv", A.format_name):
+            try:
+                r = bench_spmv(host, A, config=cfg, impl=impl,
+                               matrix_name="scircuit_twin")
+            except Exception as e:
+                print(f"# {name}/{impl} failed: {e}", file=sys.stderr)
+                continue
+            candidates.append((r.nnz_per_s, name, impl, r))
+            print(f"# {name}/{impl}: {r.nnz_per_s/1e9:.3f} Gnnz/s "
+                  f"median={r.time_iter_median*1e6:.0f}us mape={r.metrics.mape:.2e}",
+                  file=sys.stderr)
+
+    if not candidates:
+        print(json.dumps({"metric": "csr_spmv_roofline_frac", "value": 0.0,
+                          "unit": "fraction", "vs_baseline": 0.0}))
+        return
+
+    candidates.sort(reverse=True, key=lambda t: t[0])
+    nnz_s, name, impl, r = candidates[0]
+    frac = nnz_s / sol_nnz_s
+    print(json.dumps({
+        "metric": "csr_spmv_roofline_frac",
+        "value": round(frac, 5),
+        "unit": "fraction_of_hbm_roofline",
+        "vs_baseline": round(frac / 0.80, 5),
+        "detail": {
+            "matrix": "scircuit_twin", "m": host.m, "nnz": host.nnz,
+            "best_format": name, "best_impl": impl,
+            "nnz_per_s": round(nnz_s / 1e9, 4),
+            "gflops": round(r.gflops, 3),
+            "roofline_nnz_per_s": round(sol_nnz_s / 1e9, 4),
+            "device": spec.kind,
+            "mape": r.metrics.mape,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,11 +13,13 @@ Reproduces ``bench_spmv.cpp``'s protocol (SURVEY.md §6):
   synthetic variants, labels row via :func:`csv_labels`,
 * plus TPU-native roofline columns (achieved GB/s, fraction of speed-of-light).
 
-TPU timing detail: host↔device dispatch latency (worse over a tunneled
-connection) would swamp microsecond kernels, so for square matrices the timed
-unit is a jitted chain of ``inner_iters`` dependent SpMVs (x ← A·x̂ with values
-pre-scaled so iterates stay bounded); reported per-iteration time divides by
-``inner_iters``. Non-square matrices fall back to per-call timing.
+TPU timing detail: on this stack ``block_until_ready`` does not synchronize
+(remote-executor semantics) and D2H sync carries ~10 ms constant overhead, so
+per-call wall timing is meaningless. We time *differentially*
+(:mod:`spmv_research_tpu.utils.timing`): jitted chains of K_lo and K_hi
+dependent SpMVs (values pre-scaled so iterates stay bounded), each ended by a
+scalar D2H; per-iteration time = (T_hi − T_lo)/(K_hi − K_lo). The method is
+validated against a known-cost matmul (187 of 197 peak TFLOPs measured).
 """
 
 from __future__ import annotations
@@ -89,25 +91,6 @@ def csv_labels(synthetic: bool = False, tpu_extra: bool = True) -> str:
     return base + (TPU_EXTRA_LABELS if tpu_extra else "")
 
 
-def _timed_step_fn(A, x0: jnp.ndarray, impl: Optional[str], inner: int):
-    """Build the jitted timed unit.
-
-    Square: chained dependent SpMVs (no CSE possible; values must be
-    pre-scaled by the caller to keep iterates bounded). Non-square: one SpMV.
-    """
-    if A.m == A.n and inner > 1:
-        @jax.jit
-        def step(x):
-            def body(_, v):
-                return spmv_dispatch(A, v, impl=impl)
-            return jax.lax.fori_loop(0, inner, body, x)
-        return step, inner
-    @jax.jit
-    def step(x):
-        return spmv_dispatch(A, x, impl=impl)
-    return step, 1
-
-
 def _scale_for_iteration(host: HostCSR, A):
     """Return format A with values scaled so that ‖A‖∞ ≤ 1 (iterates of x←A·x
     stay bounded through the timed chain). Timing-only copy."""
@@ -140,36 +123,39 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
                    dtype=np.float64)
     metrics = check_accuracy(host, x, y, value_dtype=np.dtype(cfg.dtype))
 
-    # --- timing ---
+    # --- timing (differential chains; see module docstring) ---
+    from ..utils.timing import make_chain, _sync
+
     A_t = _scale_for_iteration(host, A) if A.m == A.n else A
-    inner = cfg.inner_iters
-    if inner is None:
-        # target ≥ ~25 ms per timed step to amortize dispatch latency
-        probe_fn, _ = _timed_step_fn(A_t, xd, impl, 1)
-        jax.block_until_ready(probe_fn(xd))
-        t0 = time.perf_counter()
-        jax.block_until_ready(probe_fn(xd))
-        t_one = max(time.perf_counter() - t0, 1e-7)
-        inner = int(np.clip(0.025 / t_one, 1, 512))
-    step, inner = _timed_step_fn(A_t, xd, impl, inner)
+    fn = lambda v, fmt: spmv_dispatch(fmt, v, impl=impl)
+    k_lo, k_hi = 4, 4 + (cfg.inner_iters or 32)
+    lo = make_chain(fn, k_lo)
+    hi = make_chain(fn, k_hi)
+    _sync(lo(xd, A_t))  # compile + warm
+    _sync(hi(xd, A_t))
 
-    for _ in range(max(cfg.warmup_iters // max(inner, 1), 2)):
-        xw = jax.block_until_ready(step(xd))
-
-    times = []
-    t_total = 0.0
-    while t_total < cfg.min_time_s or len(times) * inner < cfg.min_num_loops:
+    t_start = time.perf_counter()
+    samples = []
+    while True:
         t0 = time.perf_counter()
-        jax.block_until_ready(step(xd))
-        dt = time.perf_counter() - t0
-        times.append(dt / inner)
-        t_total += dt
-        if len(times) > 100000:
+        _sync(lo(xd, A_t))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(hi(xd, A_t))
+        t_hi = time.perf_counter() - t0
+        samples.append((t_hi - t_lo) / (k_hi - k_lo))
+        elapsed = time.perf_counter() - t_start
+        if (len(samples) * (k_hi - k_lo) >= cfg.min_num_loops
+                and elapsed >= cfg.min_time_s):
+            break
+        if elapsed > 10 * cfg.min_time_s + 60:
             break
 
-    ts = np.sort(np.array(times))
+    pos = [t for t in samples if t > 0] or [max(float(np.median(samples)), 1e-9)]
+    ts = np.sort(np.array(pos))
     t_min, t_med, t_max = float(ts[0]), float(np.median(ts)), float(ts[-1])
-    num_loops = len(times) * inner
+    t_total = time.perf_counter() - t_start
+    num_loops = len(samples) * (k_hi - k_lo)
 
     gflops = 2.0 * host.nnz_expanded / t_med * 1e-9
     nnz_per_s = host.nnz_expanded / t_med

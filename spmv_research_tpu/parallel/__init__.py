@@ -1,0 +1,4 @@
+from .dist import (
+    make_sparse_mesh, partition_rows_nnz_balanced, build_sharded_csr,
+    ShardedCSR, distributed_spmv, distributed_cg_step,
+)

