@@ -1,0 +1,24 @@
+"""Best-available TPU-native format selection for benchmarking.
+
+Role of the reference's kernel-selection map (``config.sh:458-661`` ``progs``):
+given a matrix, build the set of TPU-native formats worth benchmarking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.host import HostCSR
+from ..ops.bfly import build_bfly
+from ..ops.routing import RoutingError
+
+
+def build_best(host: HostCSR, dtype=jnp.float32) -> dict:
+    """Return {name: format} candidates for this matrix."""
+    out = {}
+    try:
+        out["BFLY"] = build_bfly(host, dtype=dtype)
+    except RoutingError:
+        pass
+    return out

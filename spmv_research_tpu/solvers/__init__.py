@@ -1,0 +1,2 @@
+from .cg import cg, bicgstab, solve_cg, solve_bicgstab, SolveResult
+from .ilu import ilu0, ic0, build_level_schedule, sptrsv, ilu0_solve, LevelSchedule
