@@ -1,0 +1,337 @@
+// sparse_host — native host-side runtime for spmv_research_tpu.
+//
+// Plays the role of the reference's C core library (SURVEY.md §2.5 "lib/"):
+// the preprocessing paths that dominate conversion time are native, not
+// Python. Exposed via a C ABI consumed through ctypes
+// (spmv_research_tpu/io/native.py):
+//
+//   * mtx_parse        — MatrixMarket coordinate parser
+//                        (role of lib/storage_formats/matrix_market/matrix_market.c:258)
+//   * coo_to_csr       — counting-sort conversion (lib/storage_formats/csr/csr_gen.c:182)
+//   * rcm              — reverse Cuthill–McKee (lib/rcm/rcm_gen.c:127)
+//   * row_neighbours / cross_row_similarity — feature extraction
+//                        (lib/storage_formats/csr_util/csr_util_gen.c:597,640)
+//   * waksman_route    — exact Beneš routing (the BFLY format compiler's hot
+//                        path; no reference analog — TPU-specific)
+//
+// Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- mtx parse
+
+// Parses the body of a MatrixMarket coordinate file (after header+size line).
+// fields: 2 (pattern), 3 (real/integer), 4 (complex: real part kept).
+// Returns number of entries parsed, or -1 on error.
+int64_t mtx_parse_body(const char* buf, int64_t len, int64_t nnz_decl,
+                       int32_t fields, int32_t* rows, int32_t* cols,
+                       double* vals) {
+  const char* p = buf;
+  const char* end = buf + len;
+  int64_t k = 0;
+  while (p < end && k < nnz_decl) {
+    while (p < end && (*p == ' ' || *p == '\n' || *p == '\r' || *p == '\t'))
+      ++p;
+    if (p >= end) break;
+    char* q;
+    long r = strtol(p, &q, 10);
+    if (q == p) return -1;
+    p = q;
+    long c = strtol(p, &q, 10);
+    if (q == p) return -1;
+    p = q;
+    double v = 1.0;
+    if (fields >= 3) {
+      v = strtod(p, &q);
+      if (q == p) return -1;
+      p = q;
+      if (fields == 4) {  // complex: skip imaginary part
+        strtod(p, &q);
+        p = q;
+      }
+    }
+    rows[k] = (int32_t)(r - 1);
+    cols[k] = (int32_t)(c - 1);
+    vals[k] = v;
+    ++k;
+  }
+  return k;
+}
+
+// ---------------------------------------------------------------- coo → csr
+
+// Counting-sort by row, then per-row sort by column. Output arrays
+// preallocated by caller: ia (m+1), ja (nnz), a (nnz).
+void coo_to_csr(const int32_t* rows, const int32_t* cols, const double* vals,
+                int64_t nnz, int64_t m, int32_t* ia, int32_t* ja, double* a) {
+  std::vector<int64_t> count(m + 1, 0);
+  for (int64_t k = 0; k < nnz; ++k) count[rows[k] + 1]++;
+  for (int64_t i = 0; i < m; ++i) count[i + 1] += count[i];
+  for (int64_t i = 0; i <= m; ++i) ia[i] = (int32_t)count[i];
+  std::vector<int64_t> pos(count.begin(), count.end() - 1);
+  for (int64_t k = 0; k < nnz; ++k) {
+    int64_t dst = pos[rows[k]]++;
+    ja[dst] = cols[k];
+    a[dst] = vals[k];
+  }
+  // sort columns within each row (indices + values together)
+  std::vector<std::pair<int32_t, double>> tmp;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t s = ia[i], e = ia[i + 1];
+    if (e - s < 2) continue;
+    tmp.resize(e - s);
+    for (int64_t k = s; k < e; ++k) tmp[k - s] = {ja[k], a[k]};
+    std::sort(tmp.begin(), tmp.end());
+    for (int64_t k = s; k < e; ++k) {
+      ja[k] = tmp[k - s].first;
+      a[k] = tmp[k - s].second;
+    }
+  }
+}
+
+// ---------------------------------------------------------------- RCM
+
+// BFS-based reverse Cuthill–McKee; perm[i] = old index of new row i.
+void rcm(const int32_t* ia, const int32_t* ja, int64_t m, int32_t* perm) {
+  std::vector<int32_t> degree(m);
+  for (int64_t i = 0; i < m; ++i) degree[i] = ia[i + 1] - ia[i];
+  std::vector<int32_t> order_by_deg(m);
+  for (int64_t i = 0; i < m; ++i) order_by_deg[i] = (int32_t)i;
+  std::stable_sort(order_by_deg.begin(), order_by_deg.end(),
+                   [&](int32_t x, int32_t y) { return degree[x] < degree[y]; });
+  std::vector<char> visited(m, 0);
+  std::vector<int32_t> queue;
+  queue.reserve(m);
+  int64_t out = 0;
+  std::vector<int32_t> nbrs;
+  for (int64_t s = 0; s < m; ++s) {
+    int32_t start = order_by_deg[s];
+    if (visited[start]) continue;
+    visited[start] = 1;
+    size_t head = queue.size();
+    queue.push_back(start);
+    while (head < queue.size()) {
+      int32_t u = queue[head++];
+      perm[out++] = u;
+      nbrs.clear();
+      for (int32_t k = ia[u]; k < ia[u + 1]; ++k) {
+        int32_t v = ja[k];
+        if (v >= 0 && v < m && !visited[v]) {
+          visited[v] = 1;
+          nbrs.push_back(v);
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end(), [&](int32_t x, int32_t y) {
+        return degree[x] < degree[y];
+      });
+      for (int32_t v : nbrs) queue.push_back(v);
+    }
+  }
+  std::reverse(perm, perm + m);
+}
+
+// ---------------------------------------------------------------- features
+
+// Mean per-nnz count of same-row neighbours within `window` columns
+// (csr_util_gen.c:597 semantics).
+double row_neighbours_avg(const int32_t* ia, const int32_t* ja, int64_t m,
+                          int64_t nnz, int64_t window) {
+  if (nnz == 0) return 0.0;
+  int64_t total = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t s = ia[i], e = ia[i + 1];
+    for (int64_t j = s; j < e; ++j) {
+      for (int64_t k = j + 1; k < e; ++k) {
+        if ((int64_t)ja[k] - ja[j] > window) break;
+        total += 2;
+      }
+    }
+  }
+  return (double)total / (double)nnz;
+}
+
+// Cross-row similarity (csr_util_gen.c:640 semantics).
+double cross_row_similarity_avg(const int32_t* ia, const int32_t* ja,
+                                int64_t m, int64_t window) {
+  double total = 0.0;
+  int64_t nonempty = 0;
+  int64_t prev = -1;
+  // iterate pairs (row i, next non-empty row l)
+  for (int64_t i = 0; i < m; ++i) {
+    if (ia[i + 1] - ia[i] <= 0) continue;
+    if (prev >= 0) {
+      // similarity of row `prev` against row `i`
+      int64_t s1 = ia[prev], e1 = ia[prev + 1];
+      int64_t s2 = ia[i], e2 = ia[i + 1];
+      int64_t k = s2, matches = 0;
+      for (int64_t j = s1; j < e1; ++j) {
+        while (k < e2) {
+          int64_t diff = (int64_t)ja[k] - ja[j];
+          if (diff >= -window && diff <= window) {
+            matches++;
+            break;
+          }
+          if (diff <= 0)
+            k++;
+          else
+            break;
+        }
+      }
+      total += (double)matches / (double)(e1 - s1);
+    }
+    nonempty++;
+    prev = i;
+  }
+  if (nonempty == 0) return 0.0;
+  return total / (double)nonempty;
+}
+
+// ---------------------------------------------------------------- waksman
+
+// Exact Beneš routing with min-swap cycle coloring. See
+// spmv_research_tpu/ops/waksman.py for the algorithm description; this is a
+// cycle-walking implementation (O(N) per level instead of numpy's sorts).
+//
+// Inputs: full permutation arrays s[N], t[N] (caller pads), real[N] (0/1).
+// Outputs: A_words, B_words (n_words × N packed planes), stage_ks
+// (≤ 2L−1 entries, -1 terminated), n_stages. Caller allocates:
+//   A_words, B_words: ((2L-1+31)/32) * N uint32, zeroed
+//   stage_ks: 2L int32
+// Returns number of emitted stages.
+int32_t waksman_route(const int64_t* s_in, const int64_t* t_in,
+                      const uint8_t* real, int64_t N, int32_t L,
+                      uint32_t* A_words, uint32_t* B_words,
+                      int32_t* stage_ks) {
+  std::vector<int64_t> s(s_in, s_in + N), t(t_in, t_in + N);
+  std::vector<int64_t> colors(N, 0);
+  std::vector<int8_t> cbit((size_t)std::max(L - 1, 0) * N);
+
+  std::vector<int64_t> pin(N), pout(N), slot_of(N);
+
+  for (int32_t lvl = 0; lvl < L - 1; ++lvl) {
+    const int64_t low_mask = (1LL << lvl) - 1;
+    // pair by (sub, high bits of src): use slot table keyed by position
+    // key space: subproblem id has lvl bits; (src >> (lvl+1)) has L-lvl-1 bits
+    // → combined key < N/2. Two elements per key.
+    std::vector<int64_t> first_of(N / 2, -1);
+    for (int64_t e = 0; e < N; ++e) {
+      int64_t key = ((s[e] >> (lvl + 1)) << lvl) | colors[e];
+      if (first_of[key] < 0)
+        first_of[key] = e;
+      else {
+        pin[e] = first_of[key];
+        pin[first_of[key]] = e;
+      }
+    }
+    std::fill(first_of.begin(), first_of.end(), -1);
+    for (int64_t e = 0; e < N; ++e) {
+      int64_t key = ((t[e] >> (lvl + 1)) << lvl) | colors[e];
+      if (first_of[key] < 0)
+        first_of[key] = e;
+      else {
+        pout[e] = first_of[key];
+        pout[first_of[key]] = e;
+      }
+    }
+    // walk constraint cycles; color alternately; choose parity minimizing
+    // swaps over real elements
+    std::vector<char> seen(N, 0);
+    std::vector<int64_t> cyc;
+    for (int64_t e0 = 0; e0 < N; ++e0) {
+      if (seen[e0]) continue;
+      cyc.clear();
+      int64_t e = e0;
+      // traverse: e -in-> pin(e) -out-> pout(pin(e)) ...
+      while (!seen[e]) {
+        seen[e] = 1;
+        cyc.push_back(e);      // gets color parity 0
+        int64_t f = pin[e];
+        seen[f] = 1;
+        cyc.push_back(f);      // parity 1
+        e = pout[f];
+      }
+      // cost for parity assignment: parity0 → c=0 for even slots
+      int64_t cost0 = 0, cost1 = 0;
+      for (size_t idx = 0; idx < cyc.size(); ++idx) {
+        int64_t el = cyc[idx];
+        if (!real[el]) continue;
+        int64_t c = (int64_t)(idx & 1);
+        int64_t sb = (s[el] >> lvl) & 1, tb = (t[el] >> lvl) & 1;
+        cost0 += (sb ^ c) + (c ^ tb);
+        cost1 += (sb ^ c ^ 1) + (c ^ 1 ^ tb);
+      }
+      int64_t flip = cost1 < cost0 ? 1 : 0;
+      for (size_t idx = 0; idx < cyc.size(); ++idx) {
+        int64_t el = cyc[idx];
+        int64_t c = ((int64_t)(idx & 1)) ^ flip;
+        cbit[(size_t)lvl * N + el] = (int8_t)c;
+        colors[el] |= c << lvl;
+      }
+    }
+  }
+
+  // emit stages
+  int32_t n_stages = 0;
+  auto emit = [&](int32_t k, auto&& pos_fn, auto&& swap_fn) {
+    // check any real swap
+    bool any = false;
+    for (int64_t e = 0; e < N && !any; ++e)
+      if (real[e] && swap_fn(e)) any = true;
+    if (!any) return;
+    int32_t w = n_stages / 32, b = n_stages % 32;
+    uint32_t bit = 1u << b;
+    uint32_t* A = A_words + (size_t)w * N;
+    uint32_t* B = B_words + (size_t)w * N;
+    for (int64_t e = 0; e < N; ++e) {
+      if (!real[e]) continue;
+      int64_t p = pos_fn(e);
+      if (swap_fn(e))
+        B[p] |= bit;
+      else
+        A[p] |= bit;
+    }
+    stage_ks[n_stages++] = k;
+  };
+
+  const auto lowbits = [&](int64_t e, int32_t lvl) {
+    return colors[e] & ((1LL << lvl) - 1);
+  };
+
+  for (int32_t lvl = 0; lvl < L - 1; ++lvl) {
+    emit(lvl,
+         [&](int64_t e) {
+           int64_t c = cbit[(size_t)lvl * N + e];
+           return (((s[e] >> (lvl + 1)) << (lvl + 1)) | (c << lvl)
+                   | lowbits(e, lvl));
+         },
+         [&](int64_t e) {
+           return ((s[e] >> lvl) & 1) != cbit[(size_t)lvl * N + e];
+         });
+  }
+  {
+    int32_t lvl = L - 1;
+    emit(lvl,
+         [&](int64_t e) {
+           return (((t[e] >> lvl) & 1) << lvl) | lowbits(e, lvl);
+         },
+         [&](int64_t e) { return ((s[e] >> lvl) & 1) != ((t[e] >> lvl) & 1); });
+  }
+  for (int32_t lvl = L - 2; lvl >= 0; --lvl) {
+    emit(lvl,
+         [&](int64_t e) { return ((t[e] >> lvl) << lvl) | lowbits(e, lvl); },
+         [&](int64_t e) {
+           return cbit[(size_t)lvl * N + e] != ((t[e] >> lvl) & 1);
+         });
+  }
+  return n_stages;
+}
+
+}  // extern "C"

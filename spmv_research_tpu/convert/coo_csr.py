@@ -15,7 +15,22 @@ from ..core.host import HostCOO, HostCSR, INDEX_DTYPE, VALUE_DTYPE_REF
 
 
 def coo_to_csr(coo: HostCOO, sort_columns: bool = True, sum_duplicates: bool = False) -> HostCSR:
-    """Build CSR from COO triplets (stable sort by (row, col))."""
+    """Build CSR from COO triplets (stable sort by (row, col)).
+
+    Uses the native counting-sort (native/sparse_host.cpp coo_to_csr) when
+    available and applicable."""
+    from ..io import native as _native
+
+    if sort_columns and not sum_duplicates and _native.have_native() and coo.nnz:
+        ia, ja, a = _native.coo_to_csr_native(coo.rows, coo.cols, coo.vals, coo.m)
+        csr = HostCSR(a=a, ia=ia, ja=ja, m=coo.m, n=coo.n,
+                      symmetric_storage=coo.symmetric, nnz_expanded=None)
+        if coo.symmetric:
+            diag = int(np.count_nonzero(
+                np.asarray(coo.cols) == np.asarray(coo.rows)))
+            csr.nnz_expanded = 2 * csr.nnz - diag
+        return csr
+
     rows = np.asarray(coo.rows, dtype=np.int64)
     cols = np.asarray(coo.cols, dtype=np.int64)
     vals = np.asarray(coo.vals, dtype=VALUE_DTYPE_REF)

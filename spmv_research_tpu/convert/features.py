@@ -114,6 +114,11 @@ def row_neighbours_avg(csr: HostCSR, window_size: int = 1) -> float:
     """Mean over nnz of same-row neighbor count within `window_size` columns."""
     if csr.nnz == 0:
         return 0.0
+    from ..io import native as _native
+
+    if _native.have_native():
+        return _native.row_neighbours_avg_native(
+            csr.ia, csr.ja, csr.m, csr.nnz, window_size)
     total = 0
     ja = csr.ja.astype(np.int64)
     lengths = csr.row_lengths()
@@ -136,6 +141,11 @@ def row_neighbours_avg(csr: HostCSR, window_size: int = 1) -> float:
 
 
 def cross_row_similarity_avg(csr: HostCSR, window_size: int = 1) -> float:
+    from ..io import native as _native
+
+    if _native.have_native():
+        return _native.cross_row_similarity_avg_native(
+            csr.ia, csr.ja, csr.m, window_size)
     deg = csr.row_lengths()
     nonempty = np.nonzero(deg > 0)[0]
     if nonempty.size == 0:

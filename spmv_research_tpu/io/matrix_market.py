@@ -77,21 +77,26 @@ def mtx_read(
     else:
         cols_per_line = 3
 
-    flat = np.array(body.split(), dtype=np.float64)
-    if flat.size % cols_per_line != 0:
-        raise ValueError("malformed MTX body")
-    table = flat.reshape(-1, cols_per_line)
-    if table.shape[0] != nnz_decl:
-        raise ValueError(f"MTX declares {nnz_decl} entries, found {table.shape[0]}")
+    from . import native as _native
 
-    rows = table[:, 0].astype(INDEX_DTYPE) - 1
-    cols = table[:, 1].astype(INDEX_DTYPE) - 1
-    if header.field == "pattern":
-        vals = np.full(rows.shape, pattern_dummy_value, dtype=np.float64)
-    elif header.field == "complex":
-        vals = table[:, 2].astype(np.float64)  # real part only (reference semantics)
+    if _native.have_native():
+        rows, cols, vals = _native.mtx_parse_body(body, nnz_decl, cols_per_line)
+        if header.field == "pattern":
+            vals = np.full(rows.shape, pattern_dummy_value, dtype=np.float64)
     else:
-        vals = table[:, 2].astype(np.float64)
+        flat = np.array(body.split(), dtype=np.float64)
+        if flat.size % cols_per_line != 0:
+            raise ValueError("malformed MTX body")
+        table = flat.reshape(-1, cols_per_line)
+        if table.shape[0] != nnz_decl:
+            raise ValueError(
+                f"MTX declares {nnz_decl} entries, found {table.shape[0]}")
+        rows = table[:, 0].astype(INDEX_DTYPE) - 1
+        cols = table[:, 1].astype(INDEX_DTYPE) - 1
+        if header.field == "pattern":
+            vals = np.full(rows.shape, pattern_dummy_value, dtype=np.float64)
+        else:
+            vals = table[:, 2].astype(np.float64)  # complex: real part (ref semantics)
 
     symmetric = header.symmetry in ("symmetric", "skew-symmetric", "hermitian")
     if symmetric and expand_symmetry:

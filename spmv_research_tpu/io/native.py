@@ -1,0 +1,143 @@
+"""ctypes bindings for the native host library (native/sparse_host.cpp).
+
+The framework works without the native library (pure numpy fallbacks
+everywhere); when ``native/libsparse_host.so`` is present (``make -C
+native``), the hot host-side paths — MTX parsing, COO→CSR, RCM, feature
+extraction, Beneš routing — switch to C++ transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_c_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_c_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_c_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_c_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_c_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, "native", "libsparse_host.so"),
+                 os.environ.get("SPARSE_HOST_LIB", "")):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+
+    lib.mtx_parse_body.restype = ctypes.c_int64
+    lib.mtx_parse_body.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        _c_i32p, _c_i32p, _c_f64p]
+
+    lib.coo_to_csr.restype = None
+    lib.coo_to_csr.argtypes = [
+        _c_i32p, _c_i32p, _c_f64p, ctypes.c_int64, ctypes.c_int64,
+        _c_i32p, _c_i32p, _c_f64p]
+
+    lib.rcm.restype = None
+    lib.rcm.argtypes = [_c_i32p, _c_i32p, ctypes.c_int64, _c_i32p]
+
+    lib.row_neighbours_avg.restype = ctypes.c_double
+    lib.row_neighbours_avg.argtypes = [
+        _c_i32p, _c_i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+
+    lib.cross_row_similarity_avg.restype = ctypes.c_double
+    lib.cross_row_similarity_avg.argtypes = [
+        _c_i32p, _c_i32p, ctypes.c_int64, ctypes.c_int64]
+
+    lib.waksman_route.restype = ctypes.c_int32
+    lib.waksman_route.argtypes = [
+        _c_i64p, _c_i64p, _c_u8p, ctypes.c_int64, ctypes.c_int32,
+        _c_u32p, _c_u32p, _c_i32p]
+
+    _LIB = lib
+    return _LIB
+
+
+def have_native() -> bool:
+    return get_lib() is not None
+
+
+def mtx_parse_body(body: bytes, nnz_decl: int, fields: int):
+    lib = get_lib()
+    rows = np.empty(nnz_decl, np.int32)
+    cols = np.empty(nnz_decl, np.int32)
+    vals = np.empty(nnz_decl, np.float64)
+    got = lib.mtx_parse_body(body, len(body), nnz_decl, fields,
+                             rows, cols, vals)
+    if got != nnz_decl:
+        raise ValueError(f"native mtx parse: got {got} of {nnz_decl} entries")
+    return rows, cols, vals
+
+
+def coo_to_csr_native(rows, cols, vals, m):
+    lib = get_lib()
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float64)
+    nnz = rows.size
+    ia = np.empty(m + 1, np.int32)
+    ja = np.empty(nnz, np.int32)
+    a = np.empty(nnz, np.float64)
+    lib.coo_to_csr(rows, cols, vals, nnz, m, ia, ja, a)
+    return ia, ja, a
+
+
+def rcm_native(ia, ja, m):
+    lib = get_lib()
+    perm = np.empty(m, np.int32)
+    lib.rcm(np.ascontiguousarray(ia, np.int32),
+            np.ascontiguousarray(ja, np.int32), m, perm)
+    return perm.astype(np.int64)
+
+
+def row_neighbours_avg_native(ia, ja, m, nnz, window=1):
+    lib = get_lib()
+    return float(lib.row_neighbours_avg(
+        np.ascontiguousarray(ia, np.int32),
+        np.ascontiguousarray(ja, np.int32), m, nnz, window))
+
+
+def cross_row_similarity_avg_native(ia, ja, m, window=1):
+    lib = get_lib()
+    return float(lib.cross_row_similarity_avg(
+        np.ascontiguousarray(ia, np.int32),
+        np.ascontiguousarray(ja, np.int32), m, window))
+
+
+def waksman_route_native(s_full, t_full, real, N, L):
+    """Returns (A_words (W,N) uint32, B_words, stage_ks list)."""
+    lib = get_lib()
+    max_stages = 2 * L
+    n_words = (max_stages + 31) // 32
+    A = np.zeros(n_words * N, np.uint32)
+    B = np.zeros(n_words * N, np.uint32)
+    ks = np.zeros(max_stages, np.int32)
+    n = lib.waksman_route(
+        np.ascontiguousarray(s_full, np.int64),
+        np.ascontiguousarray(t_full, np.int64),
+        np.ascontiguousarray(real, np.uint8), N, L, A, B, ks)
+    used_words = max((n + 31) // 32, 1)
+    return (A.reshape(n_words, N)[:used_words],
+            B.reshape(n_words, N)[:used_words],
+            [int(k) for k in ks[:n]])

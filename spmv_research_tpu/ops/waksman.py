@@ -64,14 +64,26 @@ def _orbit_reps(step: np.ndarray, rounds: int) -> np.ndarray:
     return rep
 
 
-def route_waksman(src: np.ndarray, tgt: np.ndarray, L: int, N: int) -> PassMasks:
-    """Exact single-pass Beneš routing of an injective partial map src→tgt."""
+def route_waksman(src: np.ndarray, tgt: np.ndarray, L: int, N: int,
+                  use_native: bool = True) -> PassMasks:
+    """Exact single-pass Beneš routing of an injective partial map src→tgt.
+
+    Uses the C++ cycle-walking router (native/sparse_host.cpp waksman_route)
+    when available; numpy otherwise (identical output contract)."""
     src = np.asarray(src, np.int64)
     tgt = np.asarray(tgt, np.int64)
     if src.size and (np.unique(src).size != src.size
                      or np.unique(tgt).size != tgt.size):
         raise RoutingError("waksman requires injective src and tgt")
     s, t, real = _pad_to_full_permutation(src, tgt, N)
+
+    if use_native:
+        from ..io import native as _native
+        if _native.have_native():
+            A, B, ks = _native.waksman_route_native(
+                s, t, real.astype(np.uint8), N, L)
+            stages = tuple((i // 32, i % 32, k) for i, k in enumerate(ks))
+            return PassMasks(A=A, B=B, stages=stages)
     E = N
 
     colors = np.zeros(E, dtype=np.int64)  # packed low bits, grows per level

@@ -1,0 +1,102 @@
+"""Native-library parity tests: C++ fast paths == numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from spmv_research_tpu.io.native import have_native
+from conftest import random_host_csr
+
+pytestmark = pytest.mark.skipif(not have_native(),
+                                reason="native library not built")
+
+
+def test_mtx_parse_parity(tmp_path, rng):
+    from spmv_research_tpu.io import mtx_read, mtx_write
+    from spmv_research_tpu.convert import csr_to_coo
+    import spmv_research_tpu.io.native as native
+
+    h = random_host_csr(50, 40, 0.1, rng)
+    path = str(tmp_path / "t.mtx")
+    mtx_write(path, csr_to_coo(h))
+    coo_native = mtx_read(path)  # uses native when available
+    # force numpy fallback
+    saved = native._LIB, native._TRIED
+    native._LIB, native._TRIED = None, True
+    try:
+        coo_np = mtx_read(path)
+    finally:
+        native._LIB, native._TRIED = saved
+    np.testing.assert_array_equal(coo_native.rows, coo_np.rows)
+    np.testing.assert_array_equal(coo_native.cols, coo_np.cols)
+    np.testing.assert_allclose(coo_native.vals, coo_np.vals)
+
+
+def test_coo_to_csr_parity(rng):
+    from spmv_research_tpu.core.host import HostCOO
+    from spmv_research_tpu.convert import coo_to_csr
+    import spmv_research_tpu.io.native as native
+
+    m, n, nnz = 80, 60, 400
+    # unique coordinates (duplicate tie-order is unspecified between impls)
+    flat = rng.choice(m * n, nnz, replace=False)
+    coo = HostCOO((flat // n).astype(np.int32), (flat % n).astype(np.int32),
+                  rng.uniform(-1, 1, nnz), m, n)
+    c1 = coo_to_csr(coo)
+    saved = native._LIB, native._TRIED
+    native._LIB, native._TRIED = None, True
+    try:
+        c2 = coo_to_csr(coo)
+    finally:
+        native._LIB, native._TRIED = saved
+    np.testing.assert_array_equal(c1.ia, c2.ia)
+    np.testing.assert_array_equal(c1.ja, c2.ja)
+    np.testing.assert_allclose(c1.a, c2.a)
+
+
+def test_features_parity(rng):
+    import spmv_research_tpu.io.native as native
+    from spmv_research_tpu.convert.features import (
+        row_neighbours_avg, cross_row_similarity_avg)
+
+    h = random_host_csr(120, 120, 0.06, rng)
+    a1 = row_neighbours_avg(h)
+    b1 = cross_row_similarity_avg(h)
+    saved = native._LIB, native._TRIED
+    native._LIB, native._TRIED = None, True
+    try:
+        a2 = row_neighbours_avg(h)
+        b2 = cross_row_similarity_avg(h)
+    finally:
+        native._LIB, native._TRIED = saved
+    assert abs(a1 - a2) < 1e-12
+    assert abs(b1 - b2) < 1e-12
+
+
+def test_waksman_native_parity(rng):
+    from spmv_research_tpu.ops.waksman import route_waksman
+    from spmv_research_tpu.ops.routing import apply_pass_numpy
+
+    for trial in range(10):
+        rs = np.random.default_rng(trial)
+        L = int(rs.integers(3, 10))
+        N = 1 << L
+        E = int(rs.integers(1, N))
+        src = rs.choice(N, E, replace=False)
+        tgt = rs.choice(N, E, replace=False)
+        p = route_waksman(src, tgt, L, N, use_native=True)
+        v = np.zeros(N)
+        vv = rs.uniform(1, 2, E)
+        v[src] = vv
+        out = apply_pass_numpy(v, p)
+        np.testing.assert_allclose(out[tgt], vv)
+        mask = np.ones(N, bool)
+        mask[tgt] = False
+        assert np.allclose(out[mask], 0)
+
+
+def test_rcm_native_valid_permutation(rng):
+    from spmv_research_tpu.io.native import rcm_native
+
+    h = random_host_csr(100, 100, 0.05, rng)
+    perm = rcm_native(h.ia, h.ja, h.m)
+    assert sorted(perm) == list(range(100))
