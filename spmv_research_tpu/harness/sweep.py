@@ -1,0 +1,175 @@
+"""Sweep driver — the run.sh / proc_run.sh analog (SURVEY.md §2.1).
+
+Iterates (matrices × formats × impls × workloads), reproducing run.sh's
+output discipline: per-format CSV files with a labels row first
+(``run.sh:851-865``), human logs to stdout, idempotent append-per-pair records
+so partial sweeps are usable (SURVEY.md §5.4), per-run conversion time
+reported (``bench.cpp:600-603``), retry-on-error (``run.sh:672,740-744``).
+
+Matrix sources:
+* ``.mtx`` paths (real matrices),
+* synthetic parameter lines (the 11-arg ``matrix_generation_parameters``
+  format — twins files drive this unchanged).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.host import HostCSR
+from ..io import mtx_read
+from ..convert import (coo_to_csr, build_csr, build_coo, build_ell,
+                       build_sellcs, build_bsr, rcm_reorder, extract_features,
+                       fix_diagonal_zeros)
+from ..gen import ArtificialParams, artificial_matrix_generation
+from ..ops import available_impls, build_bfly
+from ..ops.routing import RoutingError
+from .config import BenchConfig
+from .bench import (bench_spmv, csv_labels, csv_row_real, csv_row_synthetic,
+                    emit)
+from .workloads import bench_spmm, bench_sddmm, bench_cg
+
+FORMAT_BUILDERS = {
+    "csr": build_csr,
+    "coo": build_coo,
+    "ell": build_ell,
+    "sellcs": build_sellcs,
+    "bsr": lambda h, dtype: build_bsr(h, br=8, bc=128, dtype=dtype),
+    "bfly": build_bfly,
+}
+
+
+def load_matrix(spec: str, cfg: BenchConfig):
+    """spec: path to .mtx, or an 11-arg synthetic parameter line."""
+    t0 = time.time()
+    if spec.endswith(".mtx") or os.path.exists(spec):
+        coo = mtx_read(spec, expand_symmetry=True)
+        host = coo_to_csr(coo)
+        name = os.path.splitext(os.path.basename(spec))[0]
+        params = None
+    else:
+        params = ArtificialParams.from_args(spec.split())
+        host, _ = artificial_matrix_generation(params)
+        name = params.name or "synthetic"
+    if cfg.fix_diagonal_zeros:
+        host = fix_diagonal_zeros(host)
+    if cfg.use_rcm_reordering:
+        host, _ = rcm_reorder(host)
+    t_read = time.time() - t0
+    print(f"# read+transform {name}: m={host.m} nnz={host.nnz} "
+          f"({t_read:.2f}s)", flush=True)
+    return host, name, params
+
+
+def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
+              workloads: Sequence[str] = ("spmv",),
+              impls: Optional[Sequence[str]] = None,
+              out_dir: str = "out_logs",
+              config: Optional[BenchConfig] = None,
+              max_retries: int = 2) -> list:
+    cfg = config or BenchConfig.from_env()
+    os.makedirs(out_dir, exist_ok=True)
+    dtype = jnp.dtype(cfg.dtype)
+    results = []
+    label_written = set()
+
+    for spec in matrices:
+        try:
+            host, name, params = load_matrix(spec, cfg)
+        except Exception as e:
+            print(f"# SKIP {spec}: {e}", flush=True)
+            continue
+        feats = extract_features(host) if params is not None else None
+
+        for fmt in formats:
+            builder = FORMAT_BUILDERS[fmt]
+            t0 = time.time()
+            try:
+                A = builder(host, dtype=dtype)
+            except (RoutingError, ValueError, MemoryError) as e:
+                print(f"# {fmt} build failed on {name}: {e}", flush=True)
+                continue
+            t_convert = time.time() - t0
+            print(f"# convert {name} -> {fmt}: {t_convert:.2f}s", flush=True)
+
+            for workload in workloads:
+                table = workload if workload in ("spmv", "spmm", "sddmm") else "spmv"
+                try:
+                    fmt_impls = impls or available_impls(table, A.format_name)
+                except KeyError:
+                    continue
+                if not fmt_impls:
+                    continue
+                for impl in fmt_impls:
+                    csv_path = os.path.join(out_dir, f"{fmt}_{workload}.csv")
+                    for attempt in range(max_retries):
+                        try:
+                            r = _run_one(host, A, workload, impl, cfg, name,
+                                         t_convert)
+                            break
+                        except Exception as e:
+                            print(f"# retry {fmt}/{impl}/{workload}: "
+                                  f"{type(e).__name__}: {e}", flush=True)
+                            if attempt == max_retries - 1:
+                                traceback.print_exc()
+                                r = None
+                    if r is None:
+                        continue
+                    results.append(r)
+                    with open(csv_path, "a") as f:
+                        if csv_path not in label_written and f.tell() == 0:
+                            f.write(_labels_for(workload, params is not None)
+                                    + "\n")
+                        label_written.add(csv_path)
+                        f.write(_row_for(r, workload, params, feats) + "\n")
+                    print(f"# {name} {fmt}/{impl} {workload}: "
+                          f"{_summary(r)}", flush=True)
+    return results
+
+
+def _run_one(host, A, workload, impl, cfg, name, t_convert):
+    if workload == "spmv":
+        return bench_spmv(host, A, config=cfg, impl=impl, matrix_name=name,
+                          time_convert=t_convert)
+    if workload == "spmm":
+        return bench_spmm(host, A, config=cfg, impl=impl, matrix_name=name)
+    if workload == "sddmm":
+        return bench_sddmm(host, A, config=cfg, impl=impl, matrix_name=name)
+    if workload == "cg":
+        return bench_cg(host, A, config=cfg, impl=impl, matrix_name=name)
+    if workload == "bicgstab":
+        return bench_cg(host, A, config=cfg, impl=impl, matrix_name=name,
+                        bicgstab=True)
+    raise ValueError(f"unknown workload {workload}")
+
+
+def _labels_for(workload, synthetic):
+    if workload == "spmv":
+        return csv_labels(synthetic=synthetic)
+    return ("matrix_name,format_name,impl,K,time_iter_median,gflops,"
+            "num_loops,mape,max_ae")
+
+
+def _row_for(r, workload, params, feats):
+    if workload == "spmv":
+        if params is not None:
+            return csv_row_synthetic(r, params, feats)
+        return csv_row_real(r)
+    return (f"{r.matrix_name},{r.format_name},{r.impl},{r.k},"
+            f"{r.time_iter_median:.9f},{r.gflops:.4f},{r.num_loops},"
+            f"{r.mape:.6g},{r.max_ae:.6g}")
+
+
+def _summary(r):
+    if hasattr(r, "nnz_per_s"):
+        return (f"{r.nnz_per_s/1e9:.3f} Gnnz/s median="
+                f"{r.time_iter_median*1e6:.0f}us mape={r.metrics.mape:.2e}")
+    return (f"{r.gflops:.2f} GFLOPS median={r.time_iter_median*1e6:.0f}us "
+            f"mape={r.mape:.2e}")

@@ -1,0 +1,152 @@
+"""Benchmark runners for the non-SpMV workloads.
+
+Protocol parity with the reference:
+* SpMM — ``bench_spmm.cpp`` (the reference's is a stub that still calls spmv
+  — ``:268-280``; ours is real): GFLOPS = 2·nnz·K / t_median (K = ``K_DIM``).
+* SDDMM — ``bench_sddmm.cpp``: C = (A·Bᵀ)∘S, A (m×K), B (n×K);
+  GFLOPS = 2·nnz·K / t_median (``:391``); accuracy vs fp64 per-nnz dots.
+* CG / BiCGStab — ``bench_cg.cpp`` / ``bench_bicg.cpp``: solve time,
+  iterations, final relative residual (``:410-415``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.host import HostCSR
+from ..ops import spmm as spmm_dispatch, sddmm as sddmm_dispatch
+from ..solvers import solve_cg, solve_bicgstab
+from ..utils.timing import make_chain, _sync
+from .config import BenchConfig
+from .metrics import error_metrics, EPSILON_GATE
+
+
+@dataclasses.dataclass
+class WorkloadResult:
+    workload: str
+    matrix_name: str
+    format_name: str
+    impl: str
+    k: int
+    time_iter_median: float
+    gflops: float
+    num_loops: int
+    mape: float
+    max_ae: float
+    extra: dict
+
+
+def _time_fn(fn, args, cfg: BenchConfig):
+    k_lo, k_hi = 2, 2 + (cfg.inner_iters or 16)
+    lo = make_chain(fn, k_lo)
+    hi = make_chain(fn, k_hi)
+    _sync(lo(*args))
+    _sync(hi(*args))
+    samples = []
+    t_start = time.perf_counter()
+    while True:
+        t0 = time.perf_counter()
+        _sync(lo(*args))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(hi(*args))
+        t_hi = time.perf_counter() - t0
+        samples.append((t_hi - t_lo) / (k_hi - k_lo))
+        el = time.perf_counter() - t_start
+        if len(samples) * (k_hi - k_lo) >= cfg.min_num_loops and el >= cfg.min_time_s:
+            break
+        if el > 10 * cfg.min_time_s + 60:
+            break
+    pos = [t for t in samples if t > 0] or [1e-9]
+    return float(np.median(pos)), len(samples) * (k_hi - k_lo)
+
+
+def bench_spmm(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
+               impl: Optional[str] = None,
+               matrix_name: str = "matrix") -> WorkloadResult:
+    cfg = config or BenchConfig()
+    k = cfg.k_dim
+    rng = np.random.Generator(np.random.PCG64(11))
+    X = rng.uniform(0, 1, (host.n, k))
+    Xd = jnp.asarray(X, jnp.dtype(cfg.dtype))
+
+    Y = np.asarray(jax.block_until_ready(spmm_dispatch(A, Xd, impl=impl)),
+                   dtype=np.float64)
+    Y_ref = host.to_scipy() @ X
+    m = error_metrics(Y_ref.reshape(-1), Y.reshape(-1),
+                      EPSILON_GATE[np.dtype(cfg.dtype)])
+
+    fn = lambda v, fmt: spmm_dispatch(fmt, v, impl=impl)
+    t_med, loops = _time_fn(fn, (Xd, A), cfg)
+    return WorkloadResult(
+        workload="spmm", matrix_name=matrix_name, format_name=A.format_name,
+        impl=impl or "auto", k=k, time_iter_median=t_med,
+        gflops=2.0 * host.nnz_expanded * k / t_med * 1e-9, num_loops=loops,
+        mape=m.mape, max_ae=m.max_ae, extra={})
+
+
+def bench_sddmm(host: HostCSR, S, *, config: Optional[BenchConfig] = None,
+                impl: Optional[str] = None,
+                matrix_name: str = "matrix") -> WorkloadResult:
+    cfg = config or BenchConfig()
+    k = cfg.k_dim
+    rng = np.random.Generator(np.random.PCG64(12))
+    Amat = rng.uniform(0, 1, (host.m, k))
+    Bmat = rng.uniform(0, 1, (host.n, k))
+    Ad = jnp.asarray(Amat, jnp.dtype(cfg.dtype))
+    Bd = jnp.asarray(Bmat, jnp.dtype(cfg.dtype))
+
+    vals = np.asarray(jax.block_until_ready(sddmm_dispatch(S, Ad, Bd, impl=impl)),
+                      dtype=np.float64)
+    rows = np.repeat(np.arange(host.m), host.row_lengths())
+    ref = np.sum(Amat[rows] * Bmat[host.ja], axis=1)
+    m = error_metrics(ref, vals[: host.nnz], EPSILON_GATE[np.dtype(cfg.dtype)])
+
+    fn = lambda a, fmt, b: sddmm_dispatch(fmt, a, b, impl=impl)
+    t_med, loops = _time_fn(fn, (Ad, S, Bd), cfg)
+    return WorkloadResult(
+        workload="sddmm", matrix_name=matrix_name, format_name=S.format_name,
+        impl=impl or "auto", k=k, time_iter_median=t_med,
+        gflops=2.0 * host.nnz * k / t_med * 1e-9, num_loops=loops,
+        mape=m.mape, max_ae=m.max_ae, extra={})
+
+
+def bench_cg(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
+             impl: Optional[str] = None, matrix_name: str = "matrix",
+             bicgstab: bool = False) -> WorkloadResult:
+    cfg = config or BenchConfig()
+    rng = np.random.Generator(np.random.PCG64(13))
+    b = rng.uniform(0, 1, host.m)
+    solver = solve_bicgstab if bicgstab else solve_cg
+    rtol = 1e-6 if cfg.dtype == "float32" else 1e-12
+
+    # one timed solve (compile excluded by a warm-up solve)
+    x, info = solver(host, A, b, max_iters=cfg.cg_max_num_iters, rtol=rtol,
+                     impl=impl)
+    _ = np.asarray(x)
+    t0 = time.perf_counter()
+    x, info = solver(host, A, b, max_iters=cfg.cg_max_num_iters, rtol=rtol,
+                     impl=impl)
+    xh = np.asarray(x, dtype=np.float64)
+    t_solve = time.perf_counter() - t0
+    iters = int(info["iterations"])
+    res = float(np.linalg.norm(host.to_scipy() @ xh - b)
+                / max(np.linalg.norm(b), 1e-300))
+    spmv_per_iter = 2 if bicgstab else 1
+    flops_iter = 2.0 * host.nnz_expanded * spmv_per_iter + 10.0 * host.m
+    return WorkloadResult(
+        workload="bicgstab" if bicgstab else "cg",
+        matrix_name=matrix_name, format_name=A.format_name,
+        impl=impl or "auto", k=0,
+        time_iter_median=t_solve / max(iters, 1),
+        gflops=flops_iter * iters / t_solve * 1e-9 if t_solve > 0 else 0.0,
+        num_loops=iters,
+        mape=res, max_ae=res,
+        extra={"converged": bool(info["converged"]),
+               "relative_residual": res, "solve_time": t_solve})

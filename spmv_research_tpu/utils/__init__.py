@@ -1,1 +1,3 @@
 from . import roofline
+from . import timing
+from . import plot

@@ -52,9 +52,15 @@ def device_spec(device=None) -> DeviceSpec:
 
 def spmv_bytes(format_obj, value_bytes: int | None = None) -> int:
     """Bytes touched by one SpMV in the streaming model."""
-    vb = value_bytes or format_obj.data.dtype.itemsize
+    if value_bytes is None:
+        values = getattr(format_obj, "data", None)
+        if values is None:
+            values = getattr(format_obj, "vals", None)
+        if values is None:
+            values = getattr(format_obj, "diag")
+        value_bytes = values.dtype.itemsize
     return (format_obj.mem_footprint_bytes()
-            + format_obj.n * vb + format_obj.m * vb)
+            + format_obj.n * value_bytes + format_obj.m * value_bytes)
 
 
 def spmv_roofline_time(format_obj, spec: DeviceSpec | None = None) -> float:

@@ -33,18 +33,21 @@ def _sync(x) -> float:
 def make_chain(fn: Callable, k: int):
     """Jitted chain of k dependent applications of fn(x, *rest) -> array,
     ending in a scalar sum (the sync anchor). fn's output is folded back into
-    x with a full-array dependency so no iteration can be dead-coded."""
+    x with a full-array dependency so no iteration can be dead-coded.
+
+    Uses ``lax.fori_loop`` so fn's body compiles once regardless of k (a
+    Python unroll of a large kernel makes compile time explode)."""
 
     @partial(jax.jit, static_argnums=())
     def chained(x, *rest):
-        for _ in range(k):
-            r = fn(x, *rest)
-            r = r.astype(x.dtype)
-            if r.shape == x.shape:
-                x = x + r * 1e-30
-            else:
-                pad = jnp.resize(r.reshape(-1), x.shape)
-                x = x + pad * 1e-30
+        def body(_, v):
+            r = fn(v, *rest)
+            r = r.astype(v.dtype)
+            if r.shape == v.shape:
+                return v + r * 1e-30
+            pad = jnp.resize(r.reshape(-1), v.shape)
+            return v + pad * 1e-30
+        x = jax.lax.fori_loop(0, k, body, x)
         return jnp.sum(x[:8])
 
     return chained

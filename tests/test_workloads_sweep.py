@@ -1,0 +1,71 @@
+"""Workload benchmarks + sweep driver tests (CPU, tiny protocol)."""
+
+import os
+import numpy as np
+import pytest
+
+from spmv_research_tpu.core.host import HostCSR
+from spmv_research_tpu.convert import build_csr
+from spmv_research_tpu.harness import (
+    BenchConfig, bench_spmm, bench_sddmm, bench_cg, run_sweep,
+)
+from conftest import random_host_csr
+
+TINY = BenchConfig(min_num_loops=2, min_time_s=0.01, inner_iters=2, k_dim=16)
+
+
+def test_bench_spmm(rng):
+    h = random_host_csr(128, 96, 0.06, rng)
+    A = build_csr(h)
+    r = bench_spmm(h, A, config=TINY, impl="xla", matrix_name="t")
+    assert r.gflops > 0 and r.mape < 1e-5
+    assert r.k == 16
+
+
+def test_bench_sddmm(rng):
+    h = random_host_csr(100, 120, 0.05, rng)
+    S = build_csr(h)
+    r = bench_sddmm(h, S, config=TINY, impl="xla", matrix_name="t")
+    assert r.gflops > 0 and r.mape < 1e-5
+
+
+def test_bench_cg_spd(rng):
+    import scipy.sparse as sp
+
+    m = 100
+    B = sp.random(m, m, 0.05, random_state=np.random.RandomState(0))
+    A = (B @ B.T + sp.identity(m) * m).tocsr()
+    A.sort_indices()
+    h = HostCSR.from_scipy(A)
+    cfg = BenchConfig(min_num_loops=2, min_time_s=0.01, cg_max_num_iters=200)
+    r = bench_cg(h, build_csr(h), config=cfg, impl="xla", matrix_name="t")
+    assert r.extra["converged"]
+    assert r.extra["relative_residual"] < 1e-3
+
+
+def test_run_sweep_synthetic(tmp_path):
+    specs = ["500 500 6 2 normal random 0.4 1.5 0.5 0.2 14 tiny"]
+    results = run_sweep(specs, formats=["csr"], workloads=["spmv", "spmm"],
+                        impls=["xla"], out_dir=str(tmp_path), config=TINY)
+    assert len(results) == 2
+    spmv_csv = tmp_path / "csr_spmv.csv"
+    assert spmv_csv.exists()
+    lines = spmv_csv.read_text().strip().splitlines()
+    assert lines[0].startswith("matrix_name,distribution")  # synthetic schema
+    assert len(lines) == 2
+
+
+def test_run_sweep_mtx_file(tmp_path, rng):
+    from spmv_research_tpu.io import mtx_write
+    from spmv_research_tpu.convert import csr_to_coo
+
+    h = random_host_csr(80, 80, 0.08, rng)
+    path = str(tmp_path / "m.mtx")
+    mtx_write(path, csr_to_coo(h))
+    results = run_sweep([path], formats=["csr"], workloads=["spmv"],
+                        impls=["xla"], out_dir=str(tmp_path / "out"),
+                        config=TINY)
+    assert len(results) == 1
+    lines = (tmp_path / "out" / "csr_spmv.csv").read_text().strip().splitlines()
+    assert lines[0].startswith("matrix_name,num_threads")  # real schema
+    assert lines[1].startswith("m,")
