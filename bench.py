@@ -40,30 +40,42 @@ def main():
     sol_nnz_s = rl.csr_roofline_nnz_per_s(host.nnz, host.m, host.n,
                                           np.dtype("float32").itemsize, spec)
 
-    cfg = BenchConfig(min_num_loops=64, min_time_s=2.0)
-    best = None
+    cfg = BenchConfig(min_num_loops=64, min_time_s=1.0)
     candidates = []
-    from spmv_research_tpu.convert import build_sellcs
+    import time as _time
+    t_budget_start = _time.time()
+    BUDGET_S = float(__import__("os").environ.get("BENCH_BUDGET_S", 400))
 
     fmts = {"CSR": build_csr(host, dtype=dtype)}
     try:
-        from spmv_research_tpu.convert.build_pallas import build_best  # later rounds
+        from spmv_research_tpu.convert.build_pallas import build_best
         fmts.update(build_best(host, dtype=dtype))
     except ImportError:
         pass
 
+    # candidate order: fastest-compiling baseline first, then the TPU-native
+    # engine's impls (xla rolls, then pallas)
+    order = []
     for name, A in fmts.items():
         for impl in available_impls("spmv", A.format_name):
-            try:
-                r = bench_spmv(host, A, config=cfg, impl=impl,
-                               matrix_name="scircuit_twin")
-            except Exception as e:
-                print(f"# {name}/{impl} failed: {e}", file=sys.stderr)
-                continue
-            candidates.append((r.nnz_per_s, name, impl, r))
-            print(f"# {name}/{impl}: {r.nnz_per_s/1e9:.3f} Gnnz/s "
-                  f"median={r.time_iter_median*1e6:.0f}us mape={r.metrics.mape:.2e}",
-                  file=sys.stderr)
+            order.append((name, A, impl))
+    order.sort(key=lambda t: (t[0] != "CSR", t[2] == "pallas"))
+
+    for name, A, impl in order:
+        if candidates and _time.time() - t_budget_start > BUDGET_S:
+            print(f"# budget exceeded, skipping {name}/{impl}", file=sys.stderr)
+            continue
+        try:
+            r = bench_spmv(host, A, config=cfg, impl=impl,
+                           matrix_name="scircuit_twin")
+        except Exception as e:
+            print(f"# {name}/{impl} failed: {e}", file=sys.stderr)
+            continue
+        candidates.append((r.nnz_per_s, name, impl, r))
+        print(f"# {name}/{impl}: {r.nnz_per_s/1e9:.3f} Gnnz/s "
+              f"median={r.time_iter_median*1e6:.0f}us mape={r.metrics.mape:.2e} "
+              f"(elapsed {_time.time()-t_budget_start:.0f}s)",
+              file=sys.stderr, flush=True)
 
     if not candidates:
         print(json.dumps({"metric": "csr_spmv_roofline_frac", "value": 0.0,

@@ -2,3 +2,4 @@ from .dist import (
     make_sparse_mesh, partition_rows_nnz_balanced, build_sharded_csr,
     ShardedCSR, distributed_spmv, distributed_cg_step,
 )
+from .multihost import init_multihost, weak_scaling_efficiency

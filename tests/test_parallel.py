@@ -82,3 +82,12 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[0].m
     g.dryrun_multichip(8)
+
+
+def test_weak_scaling_runs(rng):
+    from spmv_research_tpu.parallel import weak_scaling_efficiency
+
+    out = weak_scaling_efficiency(rows_per_device=2000, avg_nnz_per_row=5.0,
+                                  device_counts=[1, 2])
+    assert set(out) == {1, 2}
+    assert out[1]["time"] > 0 and out[2]["time"] > 0
