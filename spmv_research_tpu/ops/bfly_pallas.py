@@ -102,8 +102,65 @@ def _xor_net(v, A, B, stages):
                  B.reshape(-1, S, LANES))
 
 
+def _full_kernel(meta, v_ref, wA, wB, fw, pA, pB, vals, sg, cA, cB, valid,
+                 o_ref):
+    """The whole routing program in one kernel (one Mosaic compile, no HBM
+    round-trips between sections)."""
+    (S, widen_stages, fill_stages, perm_stages, scan_stages,
+     compact_stages) = meta
+    v = v_ref[:]
+    for (w, b, k) in widen_stages:
+        partner = _xor_partner(v, k, S)
+        a = ((wA[w] >> b) & 1) != 0
+        bb = ((wB[w] >> b) & 1) != 0
+        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+    words = fw[:]
+    for k in fill_stages:
+        take = ((words >> k) & 1) != 0
+        v = jnp.where(take, _flat_shift(v, 1 << k, S), v)
+    for (w, b, k) in perm_stages:
+        partner = _xor_partner(v, k, S)
+        a = ((pA[w] >> b) & 1) != 0
+        bb = ((pB[w] >> b) & 1) != 0
+        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+    v = v * vals[:]
+    guards = sg[:]
+    for k in scan_stages:
+        take = ((guards >> k) & 1) != 0
+        v = v + jnp.where(take, _flat_shift(v, 1 << k, S), 0.0)
+    for (w, b, k) in compact_stages:
+        partner = _xor_partner(v, k, S)
+        a = ((cA[w] >> b) & 1) != 0
+        bb = ((cB[w] >> b) & 1) != 0
+        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+    o_ref[:] = v * valid[:]
+
+
+# NOTE: intentionally NOT registered — a single 132-stage Mosaic kernel takes
+# many minutes to compile on this stack. Kept for experimentation:
+# call directly or register under "pallas_fused" when compile times allow.
+def spmv_bfly_pallas_fused(A: Bfly, x: jnp.ndarray) -> jnp.ndarray:
+    N = A.N
+    S = N // LANES
+    v = _spread_x(x.astype(A.vals.dtype), A.n, N, A.sigma_x).reshape(S, LANES)
+    meta = (S, A.widen_stages, A.fill_stages, A.perm_stages, A.scan_stages,
+            A.compact_stages)
+    v = _call(partial(_full_kernel, meta), v,
+              A.widen_A.reshape(-1, S, LANES), A.widen_B.reshape(-1, S, LANES),
+              A.fill_words.reshape(S, LANES),
+              A.perm_A.reshape(-1, S, LANES), A.perm_B.reshape(-1, S, LANES),
+              A.vals.reshape(S, LANES), A.scan_guards.reshape(S, LANES),
+              A.compact_A.reshape(-1, S, LANES),
+              A.compact_B.reshape(-1, S, LANES),
+              A.out_valid.reshape(S, LANES))
+    return v.reshape(-1)[:: 1 << A.sigma_y][: A.m]
+
+
 @register_spmv("BFLY", "pallas")
 def spmv_bfly_pallas(A: Bfly, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-section pallas calls — the default: the single fused kernel
+    (pallas_fused) compiles for many minutes in Mosaic; six small kernels
+    compile fast and cost only ~40 us of extra HBM round-trips."""
     N = A.N
     S = N // LANES
     v = _spread_x(x.astype(A.vals.dtype), A.n, N, A.sigma_x).reshape(S, LANES)
