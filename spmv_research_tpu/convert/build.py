@@ -236,3 +236,19 @@ def build_ldu(csr: HostCSR, dtype=jnp.float32, face_align: int = 1024) -> F.LDU:
         nnz=csr.nnz,
         nnz_expanded=csr.nnz_expanded,
     )
+
+
+def build_csc(csr: HostCSR, dtype=jnp.float32, nnz_align: int = 1024) -> F.CSC:
+    """Column-major (CSC) device format via a host-side transpose sort."""
+    rows = np.repeat(np.arange(csr.m, dtype=np.int64), csr.row_lengths())
+    order = np.lexsort((rows, csr.ja))
+    nnz_pad = max(round_up(csr.nnz, nnz_align), nnz_align)
+    return F.CSC(
+        data=jnp.asarray(_pad1(csr.a[order].astype(np.dtype(dtype)), nnz_pad, 0),
+                         dtype=dtype),
+        rows=jnp.asarray(_pad1(rows[order].astype(INDEX_DTYPE), nnz_pad, csr.m)),
+        cols=jnp.asarray(_pad1(csr.ja[order], nnz_pad, 0)),
+        shape=(csr.m, csr.n),
+        nnz=csr.nnz,
+        nnz_expanded=csr.nnz_expanded,
+    )

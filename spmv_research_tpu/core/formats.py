@@ -276,3 +276,34 @@ class LDU:
     def mem_footprint_bytes(self) -> int:
         vb = self.diag.dtype.itemsize
         return self.m * vb + self.lower.shape[0] * (2 * vb + 8)
+
+
+@partial(_register,
+         data_fields=("data", "rows", "cols"),
+         meta_fields=("shape", "nnz", "nnz_expanded"))
+@dataclasses.dataclass(frozen=True)
+class CSC:
+    """Compressed-sparse-column stored as padded column-major triplets
+    (role of the reference's MKL_CSC adapter). SpMV scatters per-column
+    contributions: the portable impl uses an unsorted segment-sum over rows.
+    Padding: value 0, row m, col 0."""
+
+    data: jnp.ndarray  # (nnz_pad,) column-major sorted
+    rows: jnp.ndarray  # (nnz_pad,) int32 row indices
+    cols: jnp.ndarray  # (nnz_pad,) int32 column indices (sorted)
+    shape: Tuple[int, int]
+    nnz: int
+    nnz_expanded: int
+
+    format_name = "CSC"
+
+    @property
+    def m(self):
+        return self.shape[0]
+
+    @property
+    def n(self):
+        return self.shape[1]
+
+    def mem_footprint_bytes(self) -> int:
+        return self.nnz * (self.data.dtype.itemsize + 4) + (self.n + 1) * 4

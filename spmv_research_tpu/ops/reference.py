@@ -155,3 +155,34 @@ def spmv_ldu(A: F.LDU, x: jnp.ndarray) -> jnp.ndarray:
     y = y.at[A.owner].add(A.upper * jnp.take(x, A.neighbour))
     y = y.at[A.neighbour].add(A.lower * jnp.take(x, A.owner))
     return y
+
+
+@register_spmv("CSC", "xla")
+def spmv_csc(A: F.CSC, x: jnp.ndarray) -> jnp.ndarray:
+    """Column-major SpMV: per-column broadcast of x then row scatter
+    (unsorted segment-sum; the scatter role of the reference CSC adapters)."""
+    prod = A.data * jnp.take(x, A.cols)
+    y = jax.ops.segment_sum(prod, A.rows, num_segments=A.m + 1)
+    return y[: A.m]
+
+
+@register_spmm("SELL-C-s", "xla")
+def spmm_sellcs(A: F.SellCS, X: jnp.ndarray) -> jnp.ndarray:
+    """Slab SpMM: gather X rows per slab column, contract per slice."""
+    k = X.shape[1]
+    gathered = jnp.take(X, A.cols, axis=0)           # (C, W, k)
+    contrib = A.data[..., None] * gathered           # (C, W, k)
+    per_slice = jax.ops.segment_sum(
+        jnp.swapaxes(contrib, 0, 1), A.slice_of_col,
+        num_segments=A.n_slices, indices_are_sorted=True)   # (n_slices, C, k)
+    lane_vals = per_slice.reshape(-1, k)
+    Y = jnp.zeros((A.m + 1, k), dtype=lane_vals.dtype).at[A.lane_rows].add(lane_vals)
+    return Y[: A.m]
+
+
+@register_spmm("COO", "xla")
+def spmm_coo(A: F.COO, X: jnp.ndarray) -> jnp.ndarray:
+    prod = A.data[:, None] * jnp.take(X, A.cols, axis=0)
+    Y = jax.ops.segment_sum(prod, A.rows, num_segments=A.m + 1,
+                            indices_are_sorted=True)
+    return Y[: A.m]

@@ -3,3 +3,4 @@ from .dist import (
     ShardedCSR, distributed_spmv, distributed_cg_step,
 )
 from .multihost import init_multihost, weak_scaling_efficiency
+from .dist import build_col_sharded_csr, distributed_spmv_psum_scatter, ColShardedCSR

@@ -188,6 +188,106 @@ def distributed_spmv(A: ShardedCSR, x: jnp.ndarray,
     return shard(f)(A.data, A.cols, A.rows, x)
 
 
+@dataclasses.dataclass
+class ColShardedCSR:
+    """Column-partitioned CSR: device j owns the column block
+    [splits[j], splits[j+1]); rows stay global (padded). The 1.5-D variant:
+    local partial y over all rows, combined with ``psum_scatter``."""
+
+    data: jnp.ndarray   # (k, nnz_pad)
+    cols: jnp.ndarray   # (k, nnz_pad) int32 LOCAL column ids (< cols_pad)
+    rows: jnp.ndarray   # (k, nnz_pad) int32 global padded row ids
+    shape: Tuple[int, int]
+    nnz: int
+    k: int
+    rows_pad: int       # rows padded so k | m_pad (y scatter granularity)
+    cols_pad: int
+    col_splits: np.ndarray
+    mesh: Mesh
+    axis: str
+
+    @property
+    def m_pad(self):
+        return self.k * self.rows_pad
+
+    def pad_x(self, x: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        out = np.zeros(self.k * self.cols_pad, dtype=np.dtype(dtype))
+        for j in range(self.k):
+            s, e = self.col_splits[j], self.col_splits[j + 1]
+            out[j * self.cols_pad : j * self.cols_pad + (e - s)] = x[s:e]
+        return jax.device_put(jnp.asarray(out),
+                              NamedSharding(self.mesh, P(self.axis)))
+
+    def unpad_y(self, y) -> np.ndarray:
+        return np.asarray(y)[: self.shape[0]]
+
+
+def build_col_sharded_csr(csr: HostCSR, mesh: Mesh, axis: str = "rows",
+                          dtype=jnp.float32, nnz_align: int = 256) -> ColShardedCSR:
+    """Partition nnz by column owner (nnz-balanced over a column prefix-sum)."""
+    k = mesh.shape[axis]
+    # nnz-balanced column splits via column-count prefix sums
+    col_counts = np.bincount(csr.ja, minlength=csr.n)
+    cum = np.concatenate([[0], np.cumsum(col_counts)])
+    targets = (np.arange(k + 1) * (csr.nnz / k)).astype(np.int64)
+    splits = np.searchsorted(cum, targets, side="left")
+    splits[0], splits[-1] = 0, csr.n
+    splits = np.maximum.accumulate(splits)
+    cols_pad = int(max(np.diff(splits).max(), 1))
+    rows_pad = ((csr.m + k - 1) // k)
+
+    lengths = csr.row_lengths()
+    grows = np.repeat(np.arange(csr.m, dtype=np.int64), lengths)
+    owner = np.clip(np.searchsorted(splits, csr.ja, side="right") - 1, 0, k - 1)
+    local_cols = csr.ja.astype(np.int64) - splits[owner]
+    per = np.bincount(owner, minlength=k)
+    nnz_pad = int(((int(per.max()) + nnz_align - 1) // nnz_align) * nnz_align)
+    nnz_pad = max(nnz_pad, nnz_align)
+
+    data = np.zeros((k, nnz_pad), dtype=np.dtype(dtype))
+    cols = np.zeros((k, nnz_pad), dtype=INDEX_DTYPE)
+    rows = np.full((k, nnz_pad), k * rows_pad, dtype=INDEX_DTYPE)
+    fill = np.zeros(k, dtype=np.int64)
+    order = np.argsort(owner, kind="stable")
+    for j in range(k):
+        sel = order[np.searchsorted(owner[order], j, "left"):
+                    np.searchsorted(owner[order], j, "right")]
+        cnt = sel.size
+        data[j, :cnt] = csr.a[sel]
+        cols[j, :cnt] = local_cols[sel]
+        rows[j, :cnt] = grows[sel]
+
+    sharding = NamedSharding(mesh, P(axis))
+    return ColShardedCSR(
+        data=jax.device_put(jnp.asarray(data), sharding),
+        cols=jax.device_put(jnp.asarray(cols), sharding),
+        rows=jax.device_put(jnp.asarray(rows), sharding),
+        shape=(csr.m, csr.n), nnz=csr.nnz, k=k,
+        rows_pad=rows_pad, cols_pad=cols_pad, col_splits=splits,
+        mesh=mesh, axis=axis)
+
+
+def distributed_spmv_psum_scatter(A: ColShardedCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """Column-partitioned SpMV: each device computes partial y over ALL rows
+    from its column block; partials combined with ``psum_scatter`` so y comes
+    out row-sharded (the 1.5-D / reduce-scatter variant)."""
+    axis = A.axis
+    m_pad = A.m_pad
+
+    def f(data, cols, rows, xs):
+        prod = data[0] * jnp.take(xs, cols[0])
+        y_partial = jax.ops.segment_sum(prod, rows[0], num_segments=m_pad + 1,
+                                        indices_are_sorted=False)[:m_pad]
+        return jax.lax.psum_scatter(y_partial, axis, scatter_dimension=0,
+                                    tiled=True)
+
+    return jax.shard_map(
+        f, mesh=A.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )(A.data, A.cols, A.rows, x)
+
+
 def distributed_cg_step(csr: HostCSR, mesh: Mesh, axis: str = "rows",
                         strategy: str = "allgather"):
     """One Jacobi-preconditioned CG iteration (the framework's 'training

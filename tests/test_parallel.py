@@ -91,3 +91,17 @@ def test_weak_scaling_runs(rng):
                                   device_counts=[1, 2])
     assert set(out) == {1, 2}
     assert out[1]["time"] > 0 and out[2]["time"] > 0
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_distributed_spmv_psum_scatter(ndev, rng):
+    from spmv_research_tpu.parallel import (build_col_sharded_csr,
+                                            distributed_spmv_psum_scatter)
+
+    h = random_host_csr(320, 320, 0.05, rng)
+    mesh = make_sparse_mesh(ndev)
+    A = build_col_sharded_csr(h, mesh)
+    x = rng.uniform(-1, 1, 320)
+    y = distributed_spmv_psum_scatter(A, A.pad_x(x))
+    np.testing.assert_allclose(A.unpad_y(y), h.to_scipy() @ x,
+                               rtol=2e-5, atol=1e-5)
