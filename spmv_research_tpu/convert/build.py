@@ -153,6 +153,14 @@ def build_bsr(csr: HostCSR, br: int = 8, bc: int = 128, dtype=jnp.float32,
     nbc = (csr.n + bc - 1) // bc
     block_of_nnz = np.searchsorted(uniq, key)
     nb_pad = max(round_up(max(n_blocks, 1), block_align), block_align)
+    # fill guard: BSR densifies blocks; refuse pathological blow-ups
+    dense_bytes = nb_pad * br * bc * np.dtype(dtype).itemsize
+    csr_bytes = max(csr.mem_footprint_bytes(np.dtype(dtype).itemsize), 1)
+    if dense_bytes > 16 * csr_bytes and dense_bytes > 64 * 2**20:
+        raise ValueError(
+            f"BSR fill too low: {csr.nnz / max(n_blocks * br * bc, 1):.4f} "
+            f"({dense_bytes/2**20:.0f} MiB vs CSR {csr_bytes/2**20:.0f} MiB); "
+            "use a gather-based format for this matrix")
     data = np.zeros((nb_pad, br, bc), dtype=np.dtype(dtype))
     lr = rows - (rows // br) * br
     lc = csr.ja.astype(np.int64) - bcol * bc
