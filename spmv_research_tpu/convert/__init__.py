@@ -9,3 +9,4 @@ from .build import (
     build_csr, build_coo, build_ell, build_sellcs, build_bsr, build_dia,
     build_ldu,
 )
+from .cluster import kmeans_rows, kmeans_reorder, row_feature_vectors

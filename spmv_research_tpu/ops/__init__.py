@@ -4,3 +4,4 @@ from . import bfly       # registers BFLY xla impl
 from . import bfly_pallas  # registers BFLY pallas impl
 from .bfly import build_bfly, Bfly
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
+from .value_compress import CSRLUT, build_csr_lut

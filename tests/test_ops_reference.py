@@ -126,3 +126,41 @@ def test_mem_footprint_ratio(rng):
     assert csr.mem_footprint_bytes() == h.nnz * 8 + 101 * 4
     ell = build_ell(h)
     assert ell.mem_footprint_bytes() >= csr.mem_footprint_bytes() * 0.5
+
+
+def test_csr_lut_spmv_and_footprint(rng):
+    """Value-dedup LUT format: correct SpMV + smaller footprint when values
+    repeat (reference csr_lut_x86.cpp role)."""
+    import jax.numpy as jnp
+    from spmv_research_tpu.ops.value_compress import build_csr_lut
+    from spmv_research_tpu.core.host import HostCSR
+    import scipy.sparse as sp
+
+    m = 120
+    S = sp.random(m, m, 0.08, random_state=3)
+    # quantize values to 17 distinct levels
+    S.data = np.round(S.data * 8) / 8.0 + 1.0
+    S = S.tocsr(); S.sort_indices()
+    h = HostCSR.from_scipy(S)
+    A = build_csr_lut(h)
+    assert A.n_unique <= 32
+    assert A.val_idx.dtype == jnp.int8
+    x = rng.uniform(-1, 1, m)
+    y = np.asarray(spmv(A, jnp.asarray(x, jnp.float32), impl="xla"))
+    np.testing.assert_allclose(y, S @ x, rtol=RTOL, atol=ATOL)
+    from spmv_research_tpu.convert import build_csr as _bcsr
+    assert A.mem_footprint_bytes() < _bcsr(h).mem_footprint_bytes()
+    Y = np.asarray(spmm(A, jnp.asarray(rng.uniform(-1, 1, (m, 8)), jnp.float32),
+                        impl="xla"))
+    assert Y.shape == (m, 8)
+
+
+def test_kmeans_reorder_preserves_spmv(rng):
+    from spmv_research_tpu.convert import kmeans_reorder
+
+    h = random_host_csr(150, 150, 0.05, rng)
+    p, perm = kmeans_reorder(h, k=8)
+    x = rng.uniform(-1, 1, 150)
+    y_ref = h.to_scipy() @ x
+    y_p = p.to_scipy() @ x
+    np.testing.assert_allclose(y_p, y_ref[perm], rtol=1e-12)
