@@ -138,6 +138,9 @@ def waksman_route_native(s_full, t_full, real, N, L):
         np.ascontiguousarray(t_full, np.int64),
         np.ascontiguousarray(real, np.uint8), N, L, A, B, ks)
     used_words = max((n + 31) // 32, 1)
-    return (A.reshape(n_words, N)[:used_words],
+    # default-keep semantics: only the take-partner planes are used (the C++
+    # router still records keep bits; they are dropped here — see
+    # ops/waksman.py emit comment)
+    return (np.zeros((0, N), np.uint32),
             B.reshape(n_words, N)[:used_words],
             [int(k) for k in ks[:n]])

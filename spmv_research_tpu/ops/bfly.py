@@ -36,24 +36,25 @@ def _register(cls, data_fields, meta_fields):
 
 
 @partial(_register,
-         data_fields=("widen_A", "widen_B", "fill_words", "perm_A", "perm_B",
-                      "vals", "scan_guards", "compact_A", "compact_B",
+         data_fields=("widen_B", "fill_words", "perm_B",
+                      "vals", "scan_guards", "compact_B",
                       "out_valid"),
          meta_fields=("shape", "nnz", "nnz_expanded", "N", "L", "sigma_x",
                       "sigma_y", "widen_stages", "fill_stages", "perm_stages",
                       "scan_stages", "compact_stages"))
 @dataclasses.dataclass(frozen=True)
 class Bfly:
-    """Routed-butterfly SpMV program on device (flat (N,) leaves)."""
+    """Routed-butterfly SpMV program on device (flat (N,) leaves).
 
-    widen_A: jnp.ndarray    # (Wa, N) int32 bit planes
-    widen_B: jnp.ndarray
+    All three networks are exact Waksman routes executed with default-keep
+    select semantics (out = B ? partner : v), so only take-partner planes are
+    stored — half the mask traffic of the keep/take encoding."""
+
+    widen_B: jnp.ndarray     # (W, N) int32 take-partner bit planes
     fill_words: jnp.ndarray  # (N,) int32
-    perm_A: jnp.ndarray
     perm_B: jnp.ndarray
     vals: jnp.ndarray        # (N,) f32
     scan_guards: jnp.ndarray  # (N,) int32
-    compact_A: jnp.ndarray
     compact_B: jnp.ndarray
     out_valid: jnp.ndarray   # (N,) f32 0/1
     shape: Tuple[int, int]
@@ -80,8 +81,8 @@ class Bfly:
         return self.shape[1]
 
     def mem_footprint_bytes(self) -> int:
-        words = (self.widen_A.shape[0] + self.perm_A.shape[0]
-                 + self.compact_A.shape[0]) * 2 * 4
+        words = (self.widen_B.shape[0] + self.perm_B.shape[0]
+                 + self.compact_B.shape[0]) * 4
         return self.N * (self.vals.dtype.itemsize + 8 + words) + self.N
 
 
@@ -94,14 +95,11 @@ def _planes(arr: np.ndarray) -> jnp.ndarray:
 def build_bfly(csr: HostCSR, dtype=jnp.float32, max_N: int = 1 << 22) -> Bfly:
     prog = build_bfly_program(csr, dtype=np.dtype(dtype), max_N=max_N)
     return Bfly(
-        widen_A=_planes(prog.widen.A),
         widen_B=_planes(prog.widen.B),
         fill_words=jnp.asarray(prog.fill_words.view(np.int32)),
-        perm_A=_planes(prog.perm.A),
         perm_B=_planes(prog.perm.B),
         vals=jnp.asarray(prog.vals.astype(np.dtype(dtype))),
         scan_guards=jnp.asarray(prog.scan_guards.view(np.int32)),
-        compact_A=_planes(prog.compact.A),
         compact_B=_planes(prog.compact.B),
         out_valid=jnp.asarray(prog.out_valid.astype(np.dtype(dtype))),
         shape=(prog.m, prog.n),
@@ -121,15 +119,15 @@ def build_bfly(csr: HostCSR, dtype=jnp.float32, max_N: int = 1 << 22) -> Bfly:
 
 # ----------------------------------------------------------------- XLA path
 
-def _xor_net_flat(v, A, B, stages, N):
+def _xor_net_flat(v, B, stages, N):
+    """Default-keep exchange network: out = B ? v[p^d] : v."""
     pos = jnp.arange(N, dtype=jnp.int32)
     for (w, b, k) in stages:
         d = 1 << k
         bit = (pos & d) != 0
         partner = jnp.where(bit, jnp.roll(v, d), jnp.roll(v, -d))
-        a = ((A[w] >> b) & 1) != 0
         bb = ((B[w] >> b) & 1) != 0
-        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+        v = jnp.where(bb, partner, v)
     return v
 
 
@@ -143,17 +141,17 @@ def _spread_x(x, n, N, sigma):
 def spmv_bfly_xla(A: Bfly, x: jnp.ndarray) -> jnp.ndarray:
     N = A.N
     v = _spread_x(x.astype(A.vals.dtype), A.n, N, A.sigma_x)
-    v = _xor_net_flat(v, A.widen_A, A.widen_B, A.widen_stages, N)
+    v = _xor_net_flat(v, A.widen_B, A.widen_stages, N)
     for k in A.fill_stages:
         d = 1 << k
         take = ((A.fill_words >> k) & 1) != 0
         v = jnp.where(take, jnp.roll(v, d), v)
-    v = _xor_net_flat(v, A.perm_A, A.perm_B, A.perm_stages, N)
+    v = _xor_net_flat(v, A.perm_B, A.perm_stages, N)
     v = v * A.vals
     for k in A.scan_stages:
         d = 1 << k
         guard = ((A.scan_guards >> k) & 1) != 0
         v = v + jnp.where(guard, jnp.roll(v, d), 0.0)
-    v = _xor_net_flat(v, A.compact_A, A.compact_B, A.compact_stages, N)
+    v = _xor_net_flat(v, A.compact_B, A.compact_stages, N)
     v = v * A.out_valid
     return v.reshape(-1, 1 << A.sigma_y)[: A.m, 0]

@@ -53,13 +53,13 @@ def _flat_shift(v, d, S):
     return jnp.where(_lane_iota(S) >= d, u, w)
 
 
-def _xor_net_kernel(stages, S, v_ref, A_ref, B_ref, o_ref):
+def _xor_net_kernel(stages, S, v_ref, B_ref, o_ref):
+    """Default-keep exchange network: out = B ? partner : v."""
     v = v_ref[:]
     for (w, b, k) in stages:
         partner = _xor_partner(v, k, S)
-        a = ((A_ref[w] >> b) & 1) != 0
         bb = ((B_ref[w] >> b) & 1) != 0
-        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+        v = jnp.where(bb, partner, v)
     o_ref[:] = v
 
 
@@ -94,15 +94,15 @@ def _call(kernel_fn, v, *arrays):
     )(v, *arrays)
 
 
-def _xor_net(v, A, B, stages):
+def _xor_net(v, B, stages):
     if not stages:
         return v
     S = v.shape[0]
-    return _call(partial(_xor_net_kernel, stages, S), v, A.reshape(-1, S, LANES),
+    return _call(partial(_xor_net_kernel, stages, S), v,
                  B.reshape(-1, S, LANES))
 
 
-def _full_kernel(meta, v_ref, wA, wB, fw, pA, pB, vals, sg, cA, cB, valid,
+def _full_kernel(meta, v_ref, wB, fw, pB, vals, sg, cB, valid,
                  o_ref):
     """The whole routing program in one kernel (one Mosaic compile, no HBM
     round-trips between sections)."""
@@ -111,18 +111,16 @@ def _full_kernel(meta, v_ref, wA, wB, fw, pA, pB, vals, sg, cA, cB, valid,
     v = v_ref[:]
     for (w, b, k) in widen_stages:
         partner = _xor_partner(v, k, S)
-        a = ((wA[w] >> b) & 1) != 0
         bb = ((wB[w] >> b) & 1) != 0
-        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+        v = jnp.where(bb, partner, v)
     words = fw[:]
     for k in fill_stages:
         take = ((words >> k) & 1) != 0
         v = jnp.where(take, _flat_shift(v, 1 << k, S), v)
     for (w, b, k) in perm_stages:
         partner = _xor_partner(v, k, S)
-        a = ((pA[w] >> b) & 1) != 0
         bb = ((pB[w] >> b) & 1) != 0
-        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+        v = jnp.where(bb, partner, v)
     v = v * vals[:]
     guards = sg[:]
     for k in scan_stages:
@@ -130,9 +128,8 @@ def _full_kernel(meta, v_ref, wA, wB, fw, pA, pB, vals, sg, cA, cB, valid,
         v = v + jnp.where(take, _flat_shift(v, 1 << k, S), 0.0)
     for (w, b, k) in compact_stages:
         partner = _xor_partner(v, k, S)
-        a = ((cA[w] >> b) & 1) != 0
         bb = ((cB[w] >> b) & 1) != 0
-        v = jnp.where(a, v, 0.0) + jnp.where(bb, partner, 0.0)
+        v = jnp.where(bb, partner, v)
     o_ref[:] = v * valid[:]
 
 
@@ -146,11 +143,10 @@ def spmv_bfly_pallas_fused(A: Bfly, x: jnp.ndarray) -> jnp.ndarray:
     meta = (S, A.widen_stages, A.fill_stages, A.perm_stages, A.scan_stages,
             A.compact_stages)
     v = _call(partial(_full_kernel, meta), v,
-              A.widen_A.reshape(-1, S, LANES), A.widen_B.reshape(-1, S, LANES),
+              A.widen_B.reshape(-1, S, LANES),
               A.fill_words.reshape(S, LANES),
-              A.perm_A.reshape(-1, S, LANES), A.perm_B.reshape(-1, S, LANES),
+              A.perm_B.reshape(-1, S, LANES),
               A.vals.reshape(S, LANES), A.scan_guards.reshape(S, LANES),
-              A.compact_A.reshape(-1, S, LANES),
               A.compact_B.reshape(-1, S, LANES),
               A.out_valid.reshape(S, LANES))
     return v.reshape(-1)[:: 1 << A.sigma_y][: A.m]
@@ -165,15 +161,15 @@ def spmv_bfly_pallas(A: Bfly, x: jnp.ndarray) -> jnp.ndarray:
     S = N // LANES
     v = _spread_x(x.astype(A.vals.dtype), A.n, N, A.sigma_x).reshape(S, LANES)
 
-    v = _xor_net(v, A.widen_A, A.widen_B, A.widen_stages)
+    v = _xor_net(v, A.widen_B, A.widen_stages)
     if A.fill_stages:
         v = _call(partial(_fill_kernel, A.fill_stages, S), v,
                   A.fill_words.reshape(S, LANES))
-    v = _xor_net(v, A.perm_A, A.perm_B, A.perm_stages)
+    v = _xor_net(v, A.perm_B, A.perm_stages)
     v = v * A.vals.reshape(S, LANES)
     if A.scan_stages:
         v = _call(partial(_scan_kernel, A.scan_stages, S), v,
                   A.scan_guards.reshape(S, LANES))
-    v = _xor_net(v, A.compact_A, A.compact_B, A.compact_stages)
+    v = _xor_net(v, A.compact_B, A.compact_stages)
     v = v * A.out_valid.reshape(S, LANES)
     return v.reshape(-1)[:: 1 << A.sigma_y][: A.m]

@@ -188,13 +188,25 @@ def transpose_pass(p: PassMasks, N: int) -> PassMasks:
 
 def apply_pass_numpy(v: np.ndarray, p: PassMasks) -> np.ndarray:
     """Reference executor for one pass (flat XOR-partner form — provably
-    equivalent to the kernel's roll/select form)."""
+    equivalent to the kernel's roll/select form).
+
+    Two stage semantics, keyed by the presence of the keep plane:
+    * A present (greedy multi-pass nets): out = a·v + b·v[p^d] — unrouted
+      cells zero out (kills spilled flows).
+    * A absent (exact Waksman nets): default-keep select
+      out = b ? v[p^d] : v (half the mask traffic; dead copies are benign
+      because every consumer cell is overwritten by its own route).
+    """
     N = v.shape[0]
     ix = np.arange(N, dtype=np.int64)
+    keep_default = p.A.shape[0] == 0
     for (w, b, k) in p.stages:
-        a = (p.A[w] >> b) & 1
         bb = (p.B[w] >> b) & 1
-        v = a * v + bb * v[ix ^ (1 << k)]
+        if keep_default:
+            v = np.where(bb == 1, v[ix ^ (1 << k)], v)
+        else:
+            a = (p.A[w] >> b) & 1
+            v = a * v + bb * v[ix ^ (1 << k)]
     return v
 
 

@@ -122,7 +122,10 @@ def route_waksman(src: np.ndarray, tgt: np.ndarray, L: int, N: int,
         colors = colors | (c << lvl)
 
     # --- emit stages -------------------------------------------------------
-    planes_A: List[np.ndarray] = []
+    # Exact routing needs no keep-plane: stage semantics are default-keep
+    # (out[p] = B[p] ? v[p^d] : v[p]). Dead copies left at vacated cells are
+    # harmless: real flows never read unrouted cells, every slot/y cell is
+    # overwritten by its own route's arrival (or by fill / vals / out_valid).
     planes_B: List[np.ndarray] = []
     stage_list: List[Tuple[int, int, int]] = []
 
@@ -132,12 +135,12 @@ def route_waksman(src: np.ndarray, tgt: np.ndarray, L: int, N: int,
             return  # identity stage for all real elements → skip
         bi = len(stage_list)
         w, b = divmod(bi, 32)
-        if w == len(planes_A):
-            planes_A.append(np.zeros(N, np.uint32))
+        if w == len(planes_B):
             planes_B.append(np.zeros(N, np.uint32))
         bit = np.uint32(1 << b)
+        # each swapping element sets the bit at its own destination; for a
+        # true pair swap both partners are marked movers, covering both cells
         planes_B[w][p_after[swap & sel]] |= bit
-        planes_A[w][p_after[~swap & sel]] |= bit
         stage_list.append((w, b, k))
 
     low = lambda lvl: colors & ((1 << lvl) - 1)
@@ -163,6 +166,6 @@ def route_waksman(src: np.ndarray, tgt: np.ndarray, L: int, N: int,
         swap = c != ((t >> lvl) & 1)
         emit(lvl, p_after, swap)
 
-    A = np.stack(planes_A) if planes_A else np.zeros((0, N), np.uint32)
     B = np.stack(planes_B) if planes_B else np.zeros((0, N), np.uint32)
+    A = np.zeros((0, N), np.uint32)  # default-keep semantics: no keep plane
     return PassMasks(A=A, B=B, stages=tuple(stage_list))

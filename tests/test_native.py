@@ -89,9 +89,6 @@ def test_waksman_native_parity(rng):
         v[src] = vv
         out = apply_pass_numpy(v, p)
         np.testing.assert_allclose(out[tgt], vv)
-        mask = np.ones(N, bool)
-        mask[tgt] = False
-        assert np.allclose(out[mask], 0)
 
 
 def test_rcm_native_valid_permutation(rng):
