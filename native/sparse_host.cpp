@@ -288,15 +288,12 @@ int32_t waksman_route(const int64_t* s_in, const int64_t* t_in,
     if (!any) return;
     int32_t w = n_stages / 32, b = n_stages % 32;
     uint32_t bit = 1u << b;
-    uint32_t* A = A_words + (size_t)w * N;
+    // default-keep stage semantics: only take-partner (B) bits are consumed
+    // (see ops/waksman.py emit); A_words stays zeroed for ABI compatibility
     uint32_t* B = B_words + (size_t)w * N;
     for (int64_t e = 0; e < N; ++e) {
       if (!real[e]) continue;
-      int64_t p = pos_fn(e);
-      if (swap_fn(e))
-        B[p] |= bit;
-      else
-        A[p] |= bit;
+      if (swap_fn(e)) B[pos_fn(e)] |= bit;
     }
     stage_ks[n_stages++] = k;
   };

@@ -129,6 +129,10 @@ def fix_diagonal_zeros(csr: HostCSR, value: float = 1e-7) -> HostCSR:
     vals = np.concatenate([vals, np.full(missing.shape, value)])
     out = coo_to_csr(HostCOO(rows, cols, vals, csr.m, csr.n))
     out.symmetric_storage = csr.symmetric_storage
+    if csr.symmetric_storage:
+        # all m diagonals now present; off-diagonals of the stored (lower)
+        # triangle still count twice in the expanded matrix
+        out.nnz_expanded = 2 * out.nnz - csr.m
     return out
 
 

@@ -17,7 +17,10 @@ from .coo_csr import csr_row_permute
 
 
 def reverse_cuthill_mckee(csr: HostCSR, symmetric: bool = True) -> np.ndarray:
-    """Return the RCM permutation `perm` (new index i ← old index perm[i])."""
+    """Return the RCM permutation `perm` (new index i ← old index perm[i]).
+
+    Tiers: scipy's C implementation → the native C++ BFS
+    (native/sparse_host.cpp rcm) → pure-python fallback."""
     try:
         import scipy.sparse as sp
         from scipy.sparse.csgraph import reverse_cuthill_mckee as _rcm
@@ -25,6 +28,10 @@ def reverse_cuthill_mckee(csr: HostCSR, symmetric: bool = True) -> np.ndarray:
         mat = sp.csr_matrix((np.ones(csr.nnz), csr.ja, csr.ia), shape=(csr.m, csr.n))
         return np.asarray(_rcm(mat, symmetric_mode=symmetric), dtype=np.int64)
     except ImportError:  # pragma: no cover - scipy is baked in
+        from ..io import native as _native
+
+        if _native.have_native():
+            return _native.rcm_native(csr.ia, csr.ja, csr.m)
         return _rcm_numpy(csr)
 
 

@@ -222,7 +222,9 @@ def _dedupe_sorted_rows(cols: np.ndarray, lengths: np.ndarray, n: int) -> np.nda
     starts = np.cumsum(lengths) - lengths
     row_first = np.zeros(cols.size, dtype=bool)
     row_first[starts[lengths > 0]] = True
-    for _ in range(64):
+    # forward pushes cascade at most max-row-length times; iterate to fixpoint
+    max_iter = int(lengths.max()) + 2 if m else 1
+    for _ in range(max_iter):
         prev = np.empty_like(cols)
         prev[1:] = cols[:-1]
         prev[0] = -1
@@ -230,9 +232,11 @@ def _dedupe_sorted_rows(cols: np.ndarray, lengths: np.ndarray, n: int) -> np.nda
         if not need.any():
             break
         cols = np.where(need, prev + 1, cols)
+    else:
+        raise RuntimeError("column dedupe did not converge (internal)")
     # backward fix for overflow past n-1
     if cols.size and cols.max() >= n:
-        for _ in range(64):
+        for _ in range(max_iter):
             nxt = np.empty_like(cols)
             nxt[:-1] = cols[1:]
             nxt[-1] = n
@@ -244,6 +248,8 @@ def _dedupe_sorted_rows(cols: np.ndarray, lengths: np.ndarray, n: int) -> np.nda
             if not over.any():
                 break
             cols = np.where(over, cap, cols)
+        else:
+            raise RuntimeError("column overflow fix did not converge (internal)")
     return cols
 
 

@@ -99,6 +99,10 @@ def mtx_read(
             vals = table[:, 2].astype(np.float64)  # complex: real part (ref semantics)
 
     symmetric = header.symmetry in ("symmetric", "skew-symmetric", "hermitian")
+    # skew/hermitian storage carries a sign on the mirrored triangle that
+    # HostCOO.symmetric (plain symmetric) cannot represent — always expand
+    if header.symmetry in ("skew-symmetric", "hermitian"):
+        expand_symmetry = True
     if symmetric and expand_symmetry:
         off = rows != cols
         orows, ocols, ovals = rows[off], cols[off], vals[off]
@@ -126,11 +130,10 @@ def _read_array_mtx(data: bytes, nl: int, header: MTXHeader) -> HostCOO:
     nl2 = data.index(b"\n", pos)
     m, n = (int(t) for t in data[pos:nl2].split())
     vals = np.array(data[nl2 + 1 :].split(), dtype=np.float64)
-    dense = vals.reshape(n, m).T  # column-major per MTX spec
     if header.symmetry in ("symmetric", "skew-symmetric"):
-        full = np.zeros((m, n))
-        tril = np.tril_indices(m)
         # array-symmetric stores the lower triangle column by column
+        # (m*(m+1)/2 values), so reshape-to-dense does not apply
+        full = np.zeros((m, n))
         k = 0
         for j in range(n):
             cnt = m - j
@@ -138,6 +141,8 @@ def _read_array_mtx(data: bytes, nl: int, header: MTXHeader) -> HostCOO:
             k += cnt
         sgn = -1.0 if header.symmetry == "skew-symmetric" else 1.0
         dense = full + sgn * np.triu(full.T, 1)
+    else:
+        dense = vals.reshape(n, m).T  # column-major per MTX spec
     r, c = np.nonzero(dense)
     return HostCOO(
         rows=r.astype(INDEX_DTYPE),

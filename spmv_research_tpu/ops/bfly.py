@@ -25,8 +25,6 @@ from ..core.host import HostCSR
 from .dispatch import register_spmv
 from .routing import BflyProgramHost, build_bfly_program
 
-# stage descriptor: ("x", word, bit, k) xor-net stage | ("f", k) fill |
-# ("s", k) scan — flattened into section tuples below.
 
 
 def _register(cls, data_fields, meta_fields):

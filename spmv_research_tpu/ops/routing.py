@@ -75,6 +75,11 @@ def greedy_route(src: np.ndarray, tgt: np.ndarray, L: int, N: int,
     final occurrence of a needed bit spills to the next (additive) pass. With
     ``allow_merge``, elements with equal targets merge when they meet (their
     values add — correct for reduction flows and reverse-multicast builds).
+
+    Production SpMV programs use exact Waksman routing (zero passes wasted);
+    this greedy router is kept as the only *merge-capable* router — the basis
+    for future additive-reduction networks (e.g. routed SpGEMM numeric) — and
+    as an independent reference for the network executors in tests.
     """
     src = np.asarray(src, np.int64)
     tgt = np.asarray(tgt, np.int64)
@@ -165,25 +170,6 @@ def greedy_route(src: np.ndarray, tgt: np.ndarray, L: int, N: int,
         raise RoutingError(
             f"{remaining.size} elements unrouted after {max_passes} passes")
     return passes
-
-
-def transpose_pass(p: PassMasks, N: int) -> PassMasks:
-    """Transpose a pass (reverse flow direction): stage order reverses; each
-    take-partner plane is XOR-shuffled (b'[q] = b[q^d])."""
-    n_stages = len(p.stages)
-    n_words = (n_stages + 31) // 32
-    A = np.zeros((n_words, N), np.uint32)
-    B = np.zeros((n_words, N), np.uint32)
-    ix = np.arange(N, dtype=np.int64)
-    new_stages = []
-    for new_i, (w, b, k) in enumerate(reversed(p.stages)):
-        nw, nb = divmod(new_i, 32)
-        a_bits = (p.A[w] >> b) & 1
-        b_bits = (p.B[w] >> b) & 1
-        A[nw] |= (a_bits.astype(np.uint32) << nb)
-        B[nw][ix ^ (1 << k)] |= (b_bits.astype(np.uint32) << nb)
-        new_stages.append((nw, nb, k))
-    return PassMasks(A=A, B=B, stages=tuple(new_stages))
 
 
 def apply_pass_numpy(v: np.ndarray, p: PassMasks) -> np.ndarray:

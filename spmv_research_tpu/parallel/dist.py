@@ -140,6 +140,38 @@ def _local_spmv(data, cols, rows, x_full, rows_pad):
     return y[:rows_pad]
 
 
+def _ring_body(A: "ShardedCSR"):
+    """Ring halo-exchange local body: x shards rotate via ppermute; each step
+    multiplies the matching column block (overlappable with compute)."""
+    axis = A.axis
+
+    def f(data, cols, rows, xs):
+        k = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        rp = A.rows_pad
+
+        def body(step, carry):
+            xblk, y = carry
+            src = (me + step) % k           # owner of the held block
+            base = src * rp
+            local_cols = cols[0] - base
+            mask = (local_cols >= 0) & (local_cols < rp)
+            xi = jnp.take(xblk, jnp.clip(local_cols, 0, rp - 1))
+            prod = jnp.where(mask, data[0] * xi, 0.0)
+            y = y + jax.ops.segment_sum(
+                prod, rows[0], num_segments=rp + 1,
+                indices_are_sorted=True)[:rp]
+            xblk = jax.lax.ppermute(
+                xblk, axis, [(i, (i - 1) % k) for i in range(k)])
+            return xblk, y
+
+        y0 = jax.lax.pcast(jnp.zeros((rp,), data.dtype), axis, to='varying')
+        _, y = jax.lax.fori_loop(0, k, body, (xs, y0))
+        return y
+
+    return f
+
+
 def distributed_spmv(A: ShardedCSR, x: jnp.ndarray,
                      strategy: str = "allgather") -> jnp.ndarray:
     """y = A @ x with x and y sharded by the row partition."""
@@ -150,32 +182,7 @@ def distributed_spmv(A: ShardedCSR, x: jnp.ndarray,
             x_full = jax.lax.all_gather(xs, axis, tiled=True)
             return _local_spmv(data[0], cols[0], rows[0], x_full, A.rows_pad)
     elif strategy == "ring":
-        def f(data, cols, rows, xs):
-            k = jax.lax.axis_size(axis)
-            me = jax.lax.axis_index(axis)
-            rp = A.rows_pad
-
-            def body(step, carry):
-                xblk, y = carry
-                # owner of the currently held block
-                src = (me + step) % k
-                base = src * rp
-                local_cols = cols[0] - base
-                mask = (local_cols >= 0) & (local_cols < rp)
-                xi = jnp.take(xblk, jnp.clip(local_cols, 0, rp - 1))
-                prod = jnp.where(mask, data[0] * xi, 0.0)
-                y = y + jax.ops.segment_sum(
-                    prod, rows[0], num_segments=rp + 1,
-                    indices_are_sorted=True)[:rp]
-                # rotate: receive the next block from the right neighbour
-                xblk = jax.lax.ppermute(
-                    xblk, axis,
-                    [(i, (i - 1) % k) for i in range(k)])
-                return xblk, y
-
-            y0 = jax.lax.pcast(jnp.zeros((rp,), data.dtype), axis, to='varying')
-            _, y = jax.lax.fori_loop(0, k, body, (xs, y0))
-            return y
+        f = _ring_body(A)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -323,9 +330,14 @@ def distributed_spmv_arrays(A: ShardedCSR, data, cols, rows, x,
     """distributed_spmv over explicit arrays (for use inside jit)."""
     axis = A.axis
 
-    def f(d, c, r, xs):
-        x_full = jax.lax.all_gather(xs, axis, tiled=True)
-        return _local_spmv(d[0], c[0], r[0], x_full, A.rows_pad)
+    if strategy == "allgather":
+        def f(d, c, r, xs):
+            x_full = jax.lax.all_gather(xs, axis, tiled=True)
+            return _local_spmv(d[0], c[0], r[0], x_full, A.rows_pad)
+    elif strategy == "ring":
+        f = _ring_body(A)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     return jax.shard_map(
         f, mesh=A.mesh,

@@ -62,6 +62,11 @@ def cg(A, b: jnp.ndarray, *, inv_diag: jnp.ndarray,
     b_norm2 = jnp.vdot(b, b)
     tol2 = (rtol * rtol) * b_norm2
 
+    # ensure the explicit-residual check fires at least once per solve even
+    # for short runs (the reference's 100-iteration cadence with the default
+    # 50-iteration cap would otherwise never execute it)
+    check_every = max(min(check_every, max_iters), 1)
+
     r = b - mv(x)
     z = inv_diag * r
     p = z
