@@ -95,6 +95,8 @@ def _call(kernel_fn, v, *arrays):
 
 
 def _xor_net(v, B, stages):
+    # (measured: splitting calls per mask word to shrink per-call VMEM does
+    # NOT move the N=2²⁰ per-stage cost — the cliff is not VMEM pressure)
     if not stages:
         return v
     S = v.shape[0]

@@ -140,3 +140,60 @@ def test_generator_11_arg_line():
     csr, f = generate_from_line(line)
     assert csr.m == 17099
     assert f.nnz > 0
+
+
+def test_mtx_skew_symmetric_sign(tmp_path):
+    """Skew-symmetric MTX: mirrored triangle carries a negated sign; storage
+    is always expanded so the sign can't be silently dropped (review fix)."""
+    path = str(tmp_path / "sk.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real skew-symmetric\n")
+        f.write("3 3 2\n2 1 5.0\n3 2 -2.0\n")
+    for expand in (True, False):
+        coo = mtx_read(path, expand_symmetry=expand)
+        dense = coo_to_csr(coo).to_scipy().toarray()
+        assert dense[1, 0] == 5.0 and dense[0, 1] == -5.0
+        assert dense[2, 1] == -2.0 and dense[1, 2] == 2.0
+
+
+def test_mtx_array_symmetric(tmp_path):
+    """Array-format symmetric files store m(m+1)/2 values (review fix)."""
+    path = str(tmp_path / "as.mtx")
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix array real symmetric\n")
+        f.write("3 3\n2.0\n-1.0\n0.5\n3.0\n1.5\n4.0\n")
+    coo = mtx_read(path)
+    dense = coo_to_csr(coo).to_scipy().toarray()
+    np.testing.assert_allclose(dense, dense.T)
+    np.testing.assert_allclose(np.diag(dense), [2.0, 3.0, 4.0])
+    assert dense[1, 0] == -1.0 and dense[2, 1] == 1.5
+
+
+def test_fix_diagonal_zeros_symmetric_accounting(rng):
+    """fix_diagonal_zeros preserves symmetric nnz_expanded (review fix)."""
+    from spmv_research_tpu.convert import csr_drop_upper, fix_diagonal_zeros
+    import scipy.sparse as sp
+
+    B = sp.random(40, 40, 0.08, random_state=0)
+    A = (B + B.T).tocsr()
+    A.sort_indices()
+    from spmv_research_tpu.core.host import HostCSR
+
+    low = csr_drop_upper(HostCSR.from_scipy(A))
+    fixed = fix_diagonal_zeros(low)
+    assert fixed.symmetric_storage
+    assert fixed.nnz_expanded == 2 * fixed.nnz - 40
+
+
+def test_generator_extreme_dedupe():
+    """Heavy duplicate cascades converge (review fix: no silent 64-iter cap)."""
+    from spmv_research_tpu.gen import ArtificialParams, artificial_matrix_generation
+
+    # huge skew in a tiny window forces long duplicate cascades
+    p = ArtificialParams(400, 400, 4.0, 2.0, "normal", "random", bw=0.02,
+                         skew=80.0, avg_num_neighbours=1.8,
+                         cross_row_similarity=0.9, seed=1)
+    csr, _ = artificial_matrix_generation(p)
+    for i in range(csr.m):
+        seg = csr.ja[csr.ia[i]: csr.ia[i + 1]]
+        assert np.all(np.diff(seg) > 0)

@@ -69,3 +69,21 @@ def test_run_sweep_mtx_file(tmp_path, rng):
     lines = (tmp_path / "out" / "csr_spmv.csv").read_text().strip().splitlines()
     assert lines[0].startswith("matrix_name,num_threads")  # real schema
     assert lines[1].startswith("m,")
+
+
+def test_run_sweep_openfoam_ldu(tmp_path, rng):
+    """OpenFOAM mesh dir → LDU-capable matrix through the harness."""
+    d = tmp_path / "mesh"
+    d.mkdir()
+    (d / "owner").write_text("6 ( 0 0 1 2 3 4 )\n")
+    (d / "neighbour").write_text("6 ( 1 2 2 3 4 5 )\n")
+    from spmv_research_tpu.io import read_openfoam_matrix_dir
+    from spmv_research_tpu.convert import coo_to_csr, build_ldu
+    from spmv_research_tpu.ops import spmv
+    import jax.numpy as jnp
+
+    h = coo_to_csr(read_openfoam_matrix_dir(str(d)))
+    A = build_ldu(h, face_align=8)
+    x = rng.uniform(-1, 1, h.n)
+    y = np.asarray(spmv(A, jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(y, h.to_scipy() @ x, rtol=2e-5, atol=1e-5)
