@@ -5,7 +5,7 @@ from .coo_csr import (
 from .reorder import reverse_cuthill_mckee, rcm_reorder, sigma_sort_rows
 from .features import extract_features, MatrixFeatures
 from .build import (
-    build_csc,
+    build_csc, build_csr_sym,
     build_csr, build_coo, build_ell, build_sellcs, build_bsr, build_dia,
     build_ldu,
 )

@@ -260,3 +260,25 @@ def build_csc(csr: HostCSR, dtype=jnp.float32, nnz_align: int = 1024) -> F.CSC:
         nnz=csr.nnz,
         nnz_expanded=csr.nnz_expanded,
     )
+
+
+def build_csr_sym(csr: HostCSR, dtype=jnp.float32, nnz_align: int = 1024) -> F.CSRSym:
+    """Symmetric format from lower-triangle-stored CSR (or any CSR — the
+    upper triangle is dropped first, assuming A symmetric)."""
+    if csr.m != csr.n:
+        raise ValueError("CSR_SYM requires a square (symmetric) matrix")
+    if not csr.symmetric_storage:
+        from .coo_csr import csr_drop_upper
+
+        csr = csr_drop_upper(csr)
+    rows = np.repeat(np.arange(csr.m, dtype=INDEX_DTYPE), csr.row_lengths())
+    nnz_pad = max(round_up(csr.nnz, nnz_align), nnz_align)
+    return F.CSRSym(
+        data=jnp.asarray(_pad1(csr.a.astype(np.dtype(dtype)), nnz_pad, 0),
+                         dtype=dtype),
+        rows=jnp.asarray(_pad1(rows, nnz_pad, csr.m)),
+        cols=jnp.asarray(_pad1(csr.ja, nnz_pad, 0)),
+        shape=(csr.m, csr.n),
+        nnz=csr.nnz,
+        nnz_expanded=csr.nnz_expanded,
+    )

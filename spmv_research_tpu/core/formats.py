@@ -307,3 +307,36 @@ class CSC:
 
     def mem_footprint_bytes(self) -> int:
         return self.nnz * (self.data.dtype.itemsize + 4) + (self.n + 1) * 4
+
+
+@partial(_register,
+         data_fields=("data", "rows", "cols"),
+         meta_fields=("shape", "nnz", "nnz_expanded"))
+@dataclasses.dataclass(frozen=True)
+class CSRSym:
+    """Symmetric SpMV on lower-triangle storage (reference ``csr_sym.cpp``
+    "CSR_SYM_CPU"): y = L·x + strict(L)ᵀ·x computed from the stored triangle
+    only — half the value/index traffic of expanded storage.
+
+    Triplets are row-major sorted; padding: value 0, row m, col 0.
+    """
+
+    data: jnp.ndarray  # (nnz_pad,) lower-triangle values (incl. diagonal)
+    rows: jnp.ndarray  # (nnz_pad,) int32
+    cols: jnp.ndarray  # (nnz_pad,) int32
+    shape: Tuple[int, int]
+    nnz: int           # stored (triangle) nonzeros
+    nnz_expanded: int
+
+    format_name = "CSR_SYM"
+
+    @property
+    def m(self):
+        return self.shape[0]
+
+    @property
+    def n(self):
+        return self.shape[1]
+
+    def mem_footprint_bytes(self) -> int:
+        return self.nnz * (self.data.dtype.itemsize + 4) + (self.m + 1) * 4

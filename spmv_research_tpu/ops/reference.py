@@ -186,3 +186,19 @@ def spmm_coo(A: F.COO, X: jnp.ndarray) -> jnp.ndarray:
     Y = jax.ops.segment_sum(prod, A.rows, num_segments=A.m + 1,
                             indices_are_sorted=True)
     return Y[: A.m]
+
+
+@register_spmv("CSR_SYM", "xla")
+def spmv_csr_sym(A: F.CSRSym, x: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric SpMV from the stored lower triangle (reference
+    ``csr_sym.cpp``): y += a·x[col] per stored entry, plus the transposed
+    contribution y[col] += a·x[row] for strict off-diagonals."""
+    xv = jnp.take(x, A.cols)
+    prod = A.data * xv
+    y = jax.ops.segment_sum(prod, A.rows, num_segments=A.m + 1,
+                            indices_are_sorted=True)[: A.m]
+    off = A.rows != A.cols
+    x_rows = jnp.take(jnp.pad(x, (0, 1)), A.rows)
+    prod_t = jnp.where(off, A.data * x_rows, 0.0)
+    y_t = jax.ops.segment_sum(prod_t, A.cols, num_segments=A.m)
+    return y + y_t

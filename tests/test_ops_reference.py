@@ -164,3 +164,22 @@ def test_kmeans_reorder_preserves_spmv(rng):
     y_ref = h.to_scipy() @ x
     y_p = p.to_scipy() @ x
     np.testing.assert_allclose(y_p, y_ref[perm], rtol=1e-12)
+
+
+def test_csr_sym_spmv(rng):
+    """Symmetric-storage SpMV equals the expanded matrix (csr_sym.cpp role)."""
+    import scipy.sparse as sp
+    from spmv_research_tpu.convert import csr_drop_upper
+    from spmv_research_tpu.convert.build import build_csr_sym
+
+    m = 90
+    B = sp.random(m, m, 0.06, random_state=1)
+    A = (B + B.T + sp.diags(rng.uniform(1, 2, m))).tocsr()
+    A.sort_indices()
+    h = HostCSR.from_scipy(A)
+    low = csr_drop_upper(h)
+    S = build_csr_sym(low)
+    assert S.mem_footprint_bytes() < build_csr(h).mem_footprint_bytes()
+    x = rng.uniform(-1, 1, m)
+    y = np.asarray(spmv(S, jnp.asarray(x, jnp.float32), impl="xla"))
+    np.testing.assert_allclose(y, A @ x, rtol=RTOL, atol=ATOL)
