@@ -270,6 +270,10 @@ def build_csr_sym(csr: HostCSR, dtype=jnp.float32, nnz_align: int = 1024) -> F.C
     if not csr.symmetric_storage:
         from .coo_csr import csr_drop_upper
 
+        sp = csr.to_scipy()
+        asym = abs(sp - sp.T)
+        if asym.nnz and asym.max() > 1e-12 * max(abs(sp).max(), 1e-300):
+            raise ValueError("CSR_SYM requires a numerically symmetric matrix")
         csr = csr_drop_upper(csr)
     rows = np.repeat(np.arange(csr.m, dtype=INDEX_DTYPE), csr.row_lengths())
     nnz_pad = max(round_up(csr.nnz, nnz_align), nnz_align)

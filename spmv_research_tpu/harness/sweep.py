@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from ..core.host import HostCSR
 from ..io import mtx_read
 from ..convert import (coo_to_csr, build_csr, build_coo, build_ell,
-                       build_sellcs, build_bsr, rcm_reorder, extract_features,
-                       fix_diagonal_zeros)
+                       build_sellcs, build_bsr, build_csc, build_csr_sym,
+                       rcm_reorder, extract_features, fix_diagonal_zeros)
 from ..gen import ArtificialParams, artificial_matrix_generation
 from ..ops import available_impls, build_bfly
 from ..ops.routing import RoutingError
@@ -39,11 +39,17 @@ from .workloads import bench_spmm, bench_sddmm, bench_cg
 FORMAT_BUILDERS = {
     "csr": build_csr,
     "coo": build_coo,
+    "csc": build_csc,
     "ell": build_ell,
     "sellcs": build_sellcs,
     "bsr": lambda h, dtype: build_bsr(h, br=8, bc=128, dtype=dtype),
+    "csr_sym": build_csr_sym,
+    "csr_lut": None,  # set below (import cycle)
     "bfly": build_bfly,
 }
+
+from ..ops.value_compress import build_csr_lut as _build_csr_lut
+FORMAT_BUILDERS["csr_lut"] = _build_csr_lut
 
 
 def load_matrix(spec: str, cfg: BenchConfig):

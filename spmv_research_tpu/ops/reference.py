@@ -202,3 +202,17 @@ def spmv_csr_sym(A: F.CSRSym, x: jnp.ndarray) -> jnp.ndarray:
     prod_t = jnp.where(off, A.data * x_rows, 0.0)
     y_t = jax.ops.segment_sum(prod_t, A.cols, num_segments=A.m)
     return y + y_t
+
+
+@register_spmv("CSR", "bcoo")
+def spmv_csr_bcoo(A: F.CSR, x: jnp.ndarray) -> jnp.ndarray:
+    """Adapter to jax.experimental.sparse BCOO — the "vendor library
+    baseline" role of the reference's MKL/cuSPARSE adapters
+    (``mkl_csr.cpp``, ``cusparse_csr.cu``): an external sparse implementation
+    benchmarked through the same plugin interface."""
+    from jax.experimental import sparse as jsparse
+
+    indices = jnp.stack([A.rows, A.indices], axis=1)
+    mat = jsparse.BCOO((A.data, indices), shape=(A.m + 1, A.n),
+                       indices_sorted=True, unique_indices=True)
+    return (mat @ x)[: A.m]

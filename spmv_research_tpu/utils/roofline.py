@@ -53,12 +53,12 @@ def device_spec(device=None) -> DeviceSpec:
 def spmv_bytes(format_obj, value_bytes: int | None = None) -> int:
     """Bytes touched by one SpMV in the streaming model."""
     if value_bytes is None:
-        values = getattr(format_obj, "data", None)
-        if values is None:
-            values = getattr(format_obj, "vals", None)
-        if values is None:
-            values = getattr(format_obj, "diag")
-        value_bytes = values.dtype.itemsize
+        values = None
+        for attr in ("data", "vals", "diag", "lut"):
+            values = getattr(format_obj, attr, None)
+            if values is not None:
+                break
+        value_bytes = values.dtype.itemsize if values is not None else 4
     return (format_obj.mem_footprint_bytes()
             + format_obj.n * value_bytes + format_obj.m * value_bytes)
 

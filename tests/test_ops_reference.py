@@ -183,3 +183,11 @@ def test_csr_sym_spmv(rng):
     x = rng.uniform(-1, 1, m)
     y = np.asarray(spmv(S, jnp.asarray(x, jnp.float32), impl="xla"))
     np.testing.assert_allclose(y, A @ x, rtol=RTOL, atol=ATOL)
+
+
+def test_bcoo_vendor_adapter(rng):
+    h = random_host_csr(80, 60, 0.08, rng)
+    A = build_csr(h)
+    x = rng.uniform(-1, 1, 60)
+    y = np.asarray(spmv(A, jnp.asarray(x, jnp.float32), impl="bcoo"))
+    np.testing.assert_allclose(y, h.to_scipy() @ x, rtol=RTOL, atol=ATOL)
