@@ -98,6 +98,11 @@ def main():
             "roofline_nnz_per_s": round(sol_nnz_s / 1e9, 4),
             "device": spec.kind,
             "mape": r.metrics.mape,
+            "speedup_vs_xla_tpu_baseline": round(
+                nnz_s / min(c[0] for c in candidates), 2),
+            "candidates": {
+                f"{n}/{i}": round(s / 1e9, 4) for (s, n, i, _) in candidates
+            },
         },
     }))
 

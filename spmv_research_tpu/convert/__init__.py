@@ -10,3 +10,4 @@ from .build import (
     build_ldu,
 )
 from .cluster import kmeans_rows, kmeans_reorder, row_feature_vectors
+from .cache import cached_build, save_format, load_format, matrix_digest

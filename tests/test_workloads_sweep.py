@@ -87,3 +87,33 @@ def test_run_sweep_openfoam_ldu(tmp_path, rng):
     x = rng.uniform(-1, 1, h.n)
     y = np.asarray(spmv(A, jnp.asarray(x, jnp.float32)))
     np.testing.assert_allclose(y, h.to_scipy() @ x, rtol=2e-5, atol=1e-5)
+
+
+def test_format_cache_roundtrip(tmp_path, rng):
+    from spmv_research_tpu.convert import cached_build, build_csr
+    from spmv_research_tpu.ops import build_bfly, spmv
+    import jax.numpy as jnp
+
+    h = random_host_csr(120, 120, 0.06, rng)
+    calls = []
+
+    def counting_builder(csr, **kw):
+        calls.append(1)
+        return build_bfly(csr, **kw)
+
+    A1 = cached_build(counting_builder, h, "bfly", cache_dir=str(tmp_path))
+    A2 = cached_build(counting_builder, h, "bfly", cache_dir=str(tmp_path))
+    assert len(calls) == 1  # second call served from disk
+    x = rng.uniform(-1, 1, 120)
+    y1 = np.asarray(spmv(A1, jnp.asarray(x, jnp.float32), impl="xla"))
+    y2 = np.asarray(spmv(A2, jnp.asarray(x, jnp.float32), impl="xla"))
+    np.testing.assert_allclose(y1, y2)
+    np.testing.assert_allclose(y1, h.to_scipy() @ x, rtol=3e-5, atol=2e-5)
+
+
+def test_trace_region_runs():
+    from spmv_research_tpu.utils import trace_region
+
+    with trace_region("COMPUTATION-SpMV"):
+        import jax.numpy as jnp
+        _ = jnp.zeros(4) + 1
