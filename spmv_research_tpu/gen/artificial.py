@@ -94,11 +94,13 @@ def _sample_row_lengths(p: ArtificialParams, rng: np.random.Generator) -> np.nda
     lengths = np.abs(snd).astype(np.int64)  # reference integerization (mirror negatives)
     np.minimum(lengths, p.nr_cols, out=lengths)
 
-    # Skew shaping: ensure max row length ≈ avg*(1+skew) by boosting the
-    # heaviest rows (a small tail, so avg shifts negligibly for large m).
+    # Skew shaping: make max row length ≈ avg*(1+skew) in BOTH directions —
+    # clip the natural tail when it overshoots the target, boost heavy rows
+    # when it undershoots (a small tail either way, so avg shifts negligibly).
     if p.skew > 0 and p.nr_rows > 0:
         target_max = int(round(avg * (1.0 + p.skew)))
         target_max = min(max(target_max, 1), p.nr_cols)
+        np.minimum(lengths, target_max, out=lengths)
         cur_max = int(lengths.max()) if lengths.size else 0
         if target_max > cur_max:
             n_heavy = max(1, p.nr_rows // 10000)
@@ -130,7 +132,16 @@ def _window_bounds(p: ArtificialParams, lengths: np.ndarray):
         w0 = np.floor(diag)
         w1 = w0 + np.maximum(lengths, 1)
     else:  # random within bandwidth window
-        W = np.maximum(np.round(p.bw * n), np.maximum(lengths, 1).astype(np.float64))
+        # measured bandwidth = mean over rows of (cmax−cmin)/n, and g run
+        # starts drawn uniformly in a window of size W have expected span
+        # W·(g−1)/(g+1) — inflate the window so the *measured* bw hits the
+        # requested value (rows with a single run cannot span a window)
+        t = min(max(p.avg_num_neighbours, 0.0), 1.98)
+        run_len = 2.0 / (2.0 - t)
+        g = np.maximum(np.round(lengths / run_len), 1.0)
+        inflate = np.where(g >= 2, (g + 1.0) / np.maximum(g - 1.0, 1.0), 1.0)
+        W = np.maximum(np.round(p.bw * n * inflate),
+                       np.maximum(lengths, 1).astype(np.float64))
         w0 = np.round(diag - W / 2.0)
         w1 = w0 + W
     # clip to [0, n), keeping window size where possible
