@@ -30,10 +30,15 @@ def main():
     from spmv_research_tpu.harness import BenchConfig, bench_spmv
     from spmv_research_tpu.utils import roofline as rl
 
+    import time as _t
     # scircuit twin (reference twin-parameter table format)
     line = "170998 170998 5.6 4.39 normal random 0.297 61.9 0.803 0.633 14 scircuit_twin"
+    t0 = _t.time()
     host, feats = generate_from_line(line)
+    print(f"# generated twin ({_t.time()-t0:.1f}s)", file=sys.stderr, flush=True)
+    t0 = _t.time()
     host, _ = rcm_reorder(host)
+    print(f"# rcm ({_t.time()-t0:.1f}s)", file=sys.stderr, flush=True)
 
     spec = rl.device_spec()
     dtype = jnp.float32
@@ -58,10 +63,14 @@ def main():
     order = []
     for name, A in fmts.items():
         for impl in available_impls("spmv", A.format_name):
+            if impl not in ("xla", "pallas"):
+                continue  # alternates (e.g. bcoo) cost a compile each; skip
             order.append((name, A, impl))
     order.sort(key=lambda t: (t[0] != "CSR", t[2] == "pallas"))
 
     for name, A, impl in order:
+        print(f"# starting {name}/{impl} (elapsed {_time.time()-t_budget_start:.0f}s)",
+              file=sys.stderr, flush=True)
         if candidates and _time.time() - t_budget_start > BUDGET_S:
             print(f"# budget exceeded, skipping {name}/{impl}", file=sys.stderr)
             continue

@@ -12,13 +12,15 @@ import jax.numpy as jnp
 from ..core.host import HostCSR
 from ..ops.bfly import build_bfly
 from ..ops.routing import RoutingError
+from .cache import cached_build
 
 
 def build_best(host: HostCSR, dtype=jnp.float32) -> dict:
-    """Return {name: format} candidates for this matrix."""
+    """Return {name: format} candidates for this matrix (BFLY builds are
+    served from the on-disk format cache across runs)."""
     out = {}
     try:
-        out["BFLY"] = build_bfly(host, dtype=dtype)
+        out["BFLY"] = cached_build(build_bfly, host, "bfly", dtype=dtype)
     except RoutingError:
         pass
     return out
