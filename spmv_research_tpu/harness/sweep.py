@@ -45,7 +45,9 @@ FORMAT_BUILDERS = {
     "bsr": lambda h, dtype: build_bsr(h, br=8, bc=128, dtype=dtype),
     "csr_sym": build_csr_sym,
     "csr_lut": None,  # set below (import cycle)
-    "bfly": build_bfly,
+    "bfly": lambda h, dtype: __import__(
+        "spmv_research_tpu.convert.cache", fromlist=["cached_build"]
+    ).cached_build(build_bfly, h, "bfly", dtype=dtype),
 }
 
 from ..ops.value_compress import build_csr_lut as _build_csr_lut

@@ -78,3 +78,30 @@ def test_gold_kahan_vs_fast(rng):
     g1 = np.asarray(_gold_vec_kahan(h, x), dtype=np.float64)
     g2 = np.asarray(h.spmv_gold_fast(x), dtype=np.float64)
     np.testing.assert_allclose(g1, g2, rtol=1e-14, atol=1e-16)
+
+
+def test_roofline_model_values():
+    from spmv_research_tpu.utils import roofline as rl
+    from spmv_research_tpu.convert import build_csr
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import random_host_csr
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    h = random_host_csr(200, 200, 0.05, rng)
+    A = build_csr(h)
+    spec = rl.DeviceSpec("test", hbm_bw=800e9, hbm_gib=16, peak_tflops=100)
+    t = rl.spmv_roofline_time(A, spec)
+    expected_bytes = h.nnz * 8 + 201 * 4 + 400 * 4
+    np.testing.assert_allclose(t, expected_bytes / 800e9, rtol=1e-12)
+    sol = rl.csr_roofline_nnz_per_s(h.nnz, 200, 200, 4, spec)
+    assert sol > 0
+    assert rl.roofline_fraction(A, t * 2, spec) == 0.5
+
+
+def test_device_spec_detection():
+    from spmv_research_tpu.utils.roofline import device_spec
+
+    spec = device_spec()
+    assert spec.hbm_bw > 0 and spec.peak_tflops > 0
