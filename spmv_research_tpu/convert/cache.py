@@ -45,7 +45,7 @@ def _key(csr: HostCSR, fmt_name: str, kwargs: dict) -> str:
 def save_format(path: str, fmt: Any) -> None:
     leaves, treedef = jax.tree_util.tree_flatten(fmt)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez_compressed(path + ".npz",
+    np.savez(path + ".npz",  # uncompressed: large bit-planes decompress slower than they load
                         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
     with open(path + ".tree", "wb") as f:
         pickle.dump(treedef, f)
