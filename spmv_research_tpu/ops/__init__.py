@@ -2,6 +2,9 @@ from .dispatch import spmv, spmm, sddmm, available_impls
 from . import reference  # registers the XLA implementations
 from . import bfly       # registers BFLY xla impl
 from . import bfly_pallas  # registers BFLY pallas impl
+from . import clos      # registers CLOS xla impl
+from . import clos_pallas  # registers CLOS pallas impl
 from .bfly import build_bfly, Bfly
+from .clos import build_clos, Clos
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
 from .value_compress import CSRLUT, build_csr_lut
