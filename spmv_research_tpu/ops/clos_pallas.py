@@ -43,60 +43,77 @@ def _invreg_ops(v, word):
     return jnp.take_along_axis(acc, (word >> LANE2_SHIFT) & 0x7F, axis=1)
 
 
-def _net_ops(v, r1_ref, r2_ref, r3_ref, V):
-    """Full 5-stage Clos network on the value array, transposes in-kernel.
-
-    Returns (routed v, the r3 word) so callers can reuse r3's spare bits."""
-    v = _invreg_ops(v, r1_ref[:])
-    v = jnp.transpose(v.reshape(V, BLK)).reshape(SUB * BLK, V // SUB)
-    v = _invreg_ops(v, r2_ref[:])
-    v = jnp.transpose(v.reshape(BLK, V)).reshape(SUB * V, LANES)
-    w3 = r3_ref[:]
-    return _invreg_ops(v, w3), w3
-
-
 def _stage_bit(k, w3, hi_ref):
     if k < SPARE_BITS:
         return ((w3 >> (SPARE_SHIFT + k)) & 1) != 0
     return ((hi_ref[:] >> (k - SPARE_BITS)) & 1) != 0
 
 
-def _widen_fill_kernel(meta, v_ref, r1, r2, r3, hi_ref, o_ref):
-    V, fill_stages = meta
-    S = SUB * V
-    v, w3 = _net_ops(v_ref[:], r1, r2, r3, V)
+def _invreg_kernel(v_ref, p_ref, o_ref):
+    o_ref[:] = _invreg_ops(v_ref[:], p_ref[:])
+
+
+def _r3_fill_kernel(meta, v_ref, p_ref, hi_ref, o_ref):
+    """r3 layer + forward-fill stages (take bits in p's spare bits)."""
+    S, fill_stages = meta
+    w3 = p_ref[:]
+    v = _invreg_ops(v_ref[:], w3)
     for k in fill_stages:
         take = _stage_bit(k, w3, hi_ref)
         v = jnp.where(take, _flat_shift(v, 1 << k, S), v)
     o_ref[:] = v
 
 
-def _perm_scan_kernel(meta, v_ref, r1, r2, r3, vals_ref, hi_ref, o_ref):
-    V, scan_stages = meta
-    S = SUB * V
-    v, w3 = _net_ops(v_ref[:], r1, r2, r3, V)
-    v = v * vals_ref[:]
+def _r3_scan_kernel(meta, v_ref, p_ref, vals_ref, hi_ref, o_ref):
+    """r3 layer + value multiply + segmented scan (guards in spare bits)."""
+    S, scan_stages = meta
+    w3 = p_ref[:]
+    v = _invreg_ops(v_ref[:], w3) * vals_ref[:]
     for k in scan_stages:
         guard = _stage_bit(k, w3, hi_ref)
         v = v + jnp.where(guard, _flat_shift(v, 1 << k, S), 0.0)
     o_ref[:] = v
 
 
-def _compact_kernel(meta, v_ref, r1, r2, r3, o_ref):
-    (V,) = meta
-    v, w3 = _net_ops(v_ref[:], r1, r2, r3, V)
+def _r3_valid_kernel(v_ref, p_ref, o_ref):
+    """r3 layer + out-valid mask (bit 17 of the word)."""
+    w3 = p_ref[:]
+    v = _invreg_ops(v_ref[:], w3)
     o_ref[:] = jnp.where(((w3 >> SPARE_SHIFT) & 1) != 0, v, 0.0)
+
+
+def _t_fwd(v, V):
+    return jnp.transpose(v.reshape(V, BLK)).reshape(SUB * BLK, V // SUB)
+
+
+def _t_bwd(v, V):
+    return jnp.transpose(v.reshape(BLK, V)).reshape(SUB * V, LANES)
+
+
+def _net(v, r1, r2, r3_call, V):
+    """One Clos network: per-layer pallas calls, XLA transposes between
+    (measured: fusing layers or transposes into one kernel is *slower* —
+    Mosaic schedules the small kernels better and XLA's relayout-transpose
+    beats the in-kernel reshape+transpose)."""
+    v = _call(_invreg_kernel, v, r1)
+    v = _t_fwd(v, V)
+    v = _call(_invreg_kernel, v, r2)
+    v = _t_bwd(v, V)
+    return r3_call(v)
 
 
 @register_spmv("CLOS", "pallas")
 def spmv_clos_pallas(A: Clos, x: jnp.ndarray) -> jnp.ndarray:
     N, V = A.N, A.V
+    S = SUB * V
     v = jnp.pad(x.astype(A.vals.dtype), (0, N - x.shape[0]))
-    v = v.reshape(SUB * V, LANES)
-    v = _call(partial(_widen_fill_kernel, (V, A.fill_stages)), v,
-              A.widen_r1, A.widen_r2, A.widen_r3, A.fill_hi)
-    v = _call(partial(_perm_scan_kernel, (V, A.scan_stages)), v,
-              A.perm_r1, A.perm_r2, A.perm_r3, A.vals, A.scan_hi)
-    v = _call(partial(_compact_kernel, (V,)), v,
-              A.compact_r1, A.compact_r2, A.compact_r3)
+    v = v.reshape(S, LANES)
+    v = _net(v, A.widen_r1, A.widen_r2,
+             lambda u: _call(partial(_r3_fill_kernel, (S, A.fill_stages)),
+                             u, A.widen_r3, A.fill_hi), V)
+    v = _net(v, A.perm_r1, A.perm_r2,
+             lambda u: _call(partial(_r3_scan_kernel, (S, A.scan_stages)),
+                             u, A.perm_r3, A.vals, A.scan_hi), V)
+    v = _net(v, A.compact_r1, A.compact_r2,
+             lambda u: _call(_r3_valid_kernel, u, A.compact_r3), V)
     return v.reshape(-1)[: A.m]
