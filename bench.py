@@ -59,14 +59,17 @@ def main():
         pass
 
     # candidate order: fastest-compiling baseline first, then the TPU-native
-    # engine's impls (xla rolls, then pallas)
+    # engine (pallas only — its xla lowering hits the serialized-gather path
+    # on TPU and burns the budget for a number that's never competitive)
     order = []
     for name, A in fmts.items():
         for impl in available_impls("spmv", A.format_name):
-            if impl not in ("xla", "pallas"):
-                continue  # alternates (e.g. bcoo) cost a compile each; skip
+            if name == "CSR" and impl != "xla":
+                continue
+            if name != "CSR" and impl != "pallas":
+                continue
             order.append((name, A, impl))
-    order.sort(key=lambda t: (t[0] != "CSR", t[2] == "pallas"))
+    order.sort(key=lambda t: t[0] != "CSR")
 
     for name, A, impl in order:
         print(f"# starting {name}/{impl} (elapsed {_time.time()-t_budget_start:.0f}s)",

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from ..core.host import HostCSR
 from ..ops.bfly import build_bfly
 from ..ops.clos import build_clos
+from ..ops.clos_gather import build_clos_gather
 from ..ops.clos_route import ClosRoutingError
 from ..ops.routing import RoutingError
 from .cache import cached_build
@@ -19,10 +20,17 @@ from .cache import cached_build
 
 def build_best(host: HostCSR, dtype=jnp.float32) -> dict:
     """Return {name: format} candidates for this matrix (routed-engine builds
-    are served from the on-disk format cache across runs). CLOS is the
-    flagship (radix-1024 Clos routing, ~30x BFLY); BFLY remains the fallback
-    for matrices whose slot space exceeds the Clos single-block cap."""
+    are served from the on-disk format cache across runs). CLOSG is the
+    flagship (row-gather front end + Clos perm/compact, ~20x BFLY); CLOS is
+    the fallback when the column-block padding overflows the slot space;
+    BFLY when even the exact-Clos slot space overflows its cap."""
     out = {}
+    try:
+        out["CLOSG"] = cached_build(build_clos_gather, host, "closg",
+                                    dtype=dtype)
+        return out
+    except ClosRoutingError:
+        pass
     try:
         out["CLOS"] = cached_build(build_clos, host, "clos", dtype=dtype)
     except ClosRoutingError:

@@ -128,32 +128,41 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
 
     A_t = _scale_for_iteration(host, A) if A.m == A.n else A
     fn = lambda v, fmt: spmv_dispatch(fmt, v, impl=impl)
-    k_lo, k_hi = 4, 4 + (cfg.inner_iters or 32)
+    # Long chains + independent medians: pairing a short `lo` right before
+    # each `hi` systematically deflates the difference (the first call after
+    # a host-side gap absorbs relay warm-up), so the chain gap must dwarf the
+    # per-call overhead noise (~±3 ms on this stack) and lo/hi are medianed
+    # separately before differencing.
+    k_lo = 8
+    k_hi = k_lo + max(cfg.inner_iters or 256, cfg.min_num_loops)
     lo = make_chain(fn, k_lo)
     hi = make_chain(fn, k_hi)
     _sync(lo(xd, A_t))  # compile + warm
     _sync(hi(xd, A_t))
 
     t_start = time.perf_counter()
-    samples = []
+    lo_times, hi_times, samples = [], [], []
     while True:
         t0 = time.perf_counter()
         _sync(lo(xd, A_t))
-        t_lo = time.perf_counter() - t0
+        lo_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(hi(xd, A_t))
-        t_hi = time.perf_counter() - t0
-        samples.append((t_hi - t_lo) / (k_hi - k_lo))
+        hi_times.append(time.perf_counter() - t0)
+        samples.append((hi_times[-1] - lo_times[-1]) / (k_hi - k_lo))
         elapsed = time.perf_counter() - t_start
-        if (len(samples) * (k_hi - k_lo) >= cfg.min_num_loops
+        if (len(samples) >= 3
+                and len(samples) * (k_hi - k_lo) >= cfg.min_num_loops
                 and elapsed >= cfg.min_time_s):
             break
         if elapsed > 10 * cfg.min_time_s + 60:
             break
 
-    pos = [t for t in samples if t > 0] or [max(float(np.median(samples)), 1e-9)]
-    ts = np.sort(np.array(pos))
-    t_min, t_med, t_max = float(ts[0]), float(np.median(ts)), float(ts[-1])
+    gap = k_hi - k_lo
+    t_med = max((float(np.median(hi_times)) - float(np.median(lo_times)))
+                / gap, 1e-9)
+    pos = sorted(t for t in samples if t > 0) or [t_med]
+    t_min, t_max = float(pos[0]), float(pos[-1])
     t_total = time.perf_counter() - t_start
     num_loops = len(samples) * (k_hi - k_lo)
 

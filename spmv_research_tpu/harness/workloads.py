@@ -43,28 +43,33 @@ class WorkloadResult:
 
 
 def _time_fn(fn, args, cfg: BenchConfig):
-    k_lo, k_hi = 2, 2 + (cfg.inner_iters or 16)
+    # Long chains + independent lo/hi medians (see harness/bench.py: pairing
+    # a short lo right before each hi deflates the difference on this stack).
+    k_lo = 8
+    k_hi = k_lo + max(cfg.inner_iters or 64, cfg.min_num_loops)
     lo = make_chain(fn, k_lo)
     hi = make_chain(fn, k_hi)
     _sync(lo(*args))
     _sync(hi(*args))
-    samples = []
+    lo_times, hi_times = [], []
     t_start = time.perf_counter()
     while True:
         t0 = time.perf_counter()
         _sync(lo(*args))
-        t_lo = time.perf_counter() - t0
+        lo_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(hi(*args))
-        t_hi = time.perf_counter() - t0
-        samples.append((t_hi - t_lo) / (k_hi - k_lo))
+        hi_times.append(time.perf_counter() - t0)
         el = time.perf_counter() - t_start
-        if len(samples) * (k_hi - k_lo) >= cfg.min_num_loops and el >= cfg.min_time_s:
+        if (len(hi_times) >= 3
+                and len(hi_times) * (k_hi - k_lo) >= cfg.min_num_loops
+                and el >= cfg.min_time_s):
             break
         if el > 10 * cfg.min_time_s + 60:
             break
-    pos = [t for t in samples if t > 0] or [1e-9]
-    return float(np.median(pos)), len(samples) * (k_hi - k_lo)
+    t_med = max((float(np.median(hi_times)) - float(np.median(lo_times)))
+                / (k_hi - k_lo), 1e-9)
+    return t_med, len(hi_times) * (k_hi - k_lo)
 
 
 def bench_spmm(host: HostCSR, A, *, config: Optional[BenchConfig] = None,

@@ -4,6 +4,8 @@ from . import bfly       # registers BFLY xla impl
 from . import bfly_pallas  # registers BFLY pallas impl
 from . import clos      # registers CLOS xla impl
 from . import clos_pallas  # registers CLOS pallas impl
+from . import clos_mcast   # registers CLOSM xla+pallas impls
+from . import clos_gather  # registers CLOSG xla+pallas impls
 from .bfly import build_bfly, Bfly
 from .clos import build_clos, Clos
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan

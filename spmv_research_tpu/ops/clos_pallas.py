@@ -75,6 +75,17 @@ def _r3_scan_kernel(meta, v_ref, p_ref, vals_ref, hi_ref, o_ref):
     o_ref[:] = v
 
 
+def _r3_scan_kernel_noval(meta, v_ref, p_ref, hi_ref, o_ref):
+    """r3 layer + segmented scan (values already multiplied upstream)."""
+    S, scan_stages = meta
+    w3 = p_ref[:]
+    v = _invreg_ops(v_ref[:], w3)
+    for k in scan_stages:
+        guard = _stage_bit(k, w3, hi_ref)
+        v = v + jnp.where(guard, _flat_shift(v, 1 << k, S), 0.0)
+    o_ref[:] = v
+
+
 def _r3_valid_kernel(v_ref, p_ref, o_ref):
     """r3 layer + out-valid mask (bit 17 of the word)."""
     w3 = p_ref[:]

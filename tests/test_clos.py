@@ -68,11 +68,13 @@ def test_clos_full_and_partial_perm(rng):
                                          (64, 4000, 0.003)])
 def test_clos_numpy_vs_scipy(rng, m, n, density):
     host = random_host_csr(m, n, density, rng)
-    A = build_clos(host)
+    A = build_clos(host, )
     x = rng.uniform(-1, 1, n)
     y = execute_clos_numpy(A, x)
-    want = host.to_scipy() @ x
-    assert np.allclose(y, want, atol=1e-10)
+    sp = host.to_scipy()
+    want = sp @ x
+    scale = np.abs(sp) @ np.abs(x) + 1e-30
+    assert np.max(np.abs(y - want) / scale) < 1e-6
 
 
 def test_clos_pathological(rng):
@@ -88,9 +90,10 @@ def test_clos_pathological(rng):
     mat.sum_duplicates()
     mat.sort_indices()
     host = HostCSR.from_scipy(mat)
-    A = build_clos(host)
+    A = build_clos(host, )
     x = rng.uniform(-1, 1, n)
-    assert np.allclose(execute_clos_numpy(A, x), mat @ x, atol=1e-10)
+    scale = np.abs(mat) @ np.abs(x) + 1e-30
+    assert np.max(np.abs(execute_clos_numpy(A, x) - mat @ x) / scale) < 1e-6
 
 
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
@@ -98,7 +101,7 @@ def test_clos_device_impls(rng, impl):
     import jax.numpy as jnp
 
     host = random_host_csr(400, 400, 0.015, rng)
-    A = build_clos(host)
+    A = build_clos(host, )
     x = rng.uniform(-1, 1, 400).astype(np.float32)
     y = np.asarray(spmv(A, jnp.asarray(x), impl=impl))
     want = host.to_scipy() @ x.astype(np.float64)

@@ -1,0 +1,54 @@
+"""CLOSG (row-gather + Clos) engine tests."""
+
+import numpy as np
+import pytest
+
+from conftest import random_host_csr
+
+from spmv_research_tpu.ops.clos_gather import (build_clos_gather,
+                                               execute_closg_numpy)
+from spmv_research_tpu.ops import spmv
+
+
+@pytest.mark.parametrize("m,n,density", [(300, 300, 0.01), (500, 200, 0.02),
+                                         (64, 4000, 0.003), (1000, 50, 0.08)])
+def test_closg_numpy_vs_scipy(rng, m, n, density):
+    host = random_host_csr(m, n, density, rng)
+    A = build_clos_gather(host, )
+    x = rng.uniform(-1, 1, n)
+    y = execute_closg_numpy(A, x)
+    sp = host.to_scipy()
+    want = sp @ x
+    scale = np.abs(sp) @ np.abs(x) + 1e-30
+    assert np.max(np.abs(y - want) / scale) < 1e-6
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_closg_device_impls(rng, impl):
+    import jax.numpy as jnp
+
+    host = random_host_csr(400, 400, 0.015, rng)
+    A = build_clos_gather(host, )
+    x = rng.uniform(-1, 1, 400).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x), impl=impl))
+    want = host.to_scipy() @ x.astype(np.float64)
+    assert np.allclose(y, want, atol=1e-4)
+
+
+def test_closg_pathological(rng):
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+
+    # dense column block + empty rows + single dense row
+    m = n = 300
+    rows = np.concatenate([np.arange(200), np.full(64, 7)])
+    cols = np.concatenate([np.full(200, 17), rng.choice(n, 64, replace=False)])
+    vals = rng.uniform(-1, 1, rows.shape[0])
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    mat.sum_duplicates()
+    mat.sort_indices()
+    host = HostCSR.from_scipy(mat)
+    A = build_clos_gather(host, )
+    x = rng.uniform(-1, 1, n)
+    scale = np.abs(mat) @ np.abs(x) + 1e-30
+    assert np.max(np.abs(execute_closg_numpy(A, x) - mat @ x) / scale) < 1e-6
