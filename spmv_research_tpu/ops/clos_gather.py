@@ -44,19 +44,20 @@ from .clos import (LANE2_SHIFT, ROT_SHIFT, SPARE_BITS, SPARE_SHIFT,
 @partial(_register,
          data_fields=("rowidx", "lam", "vals_cs",
                       "perm_r1", "perm_r2", "perm_r3",
-                      "compact_r1", "compact_r2", "compact_r3",
+                      "ycand", "ysel",
                       "scan_hi"),
          meta_fields=("shape", "nnz", "nnz_expanded", "N", "V", "x_rows",
-                      "scan_stages"))
+                      "scan_stages", "C"))
 @dataclasses.dataclass(frozen=True)
 class ClosG:
     """Window-gather + Clos SpMV program (packed words as in ``clos.Clos``).
 
-    ``rowidx[s]`` = x2d row feeding sublane s; ``lam`` = per-slot source lane
-    (col mod 128) carried in bits [0,7) of an int32 word whose spare bits
-    [17,32) hold the scan guards' low stages (the perm_r3 spare bits hold the
-    rest... no: scan guards ride ``lam``'s spare bits; ``compact_r3`` carries
-    the out-valid bit)."""
+    Front end: ``rowidx[s]`` = x2d row feeding sublane s; ``lam`` = per-slot
+    source lane (col mod 128). Back end (y extraction, replacing a third
+    Clos network): each 128-row y group draws its row-end slots from at most
+    ``C`` scan-output rows — ``ycand[j·C + c]`` names them; ``ysel`` packs,
+    per y slot, the candidate id (bits [7,11)) and the source lane (bits
+    [0,7)). ``perm_r3`` spare bits carry the scan guards."""
 
     rowidx: jnp.ndarray       # (8V,) int32
     lam: jnp.ndarray          # (8V, 128) int32: bits[0,7) lane; spare unused
@@ -64,9 +65,8 @@ class ClosG:
     perm_r1: jnp.ndarray
     perm_r2: jnp.ndarray
     perm_r3: jnp.ndarray      # spare bits: scan guards (low stages)
-    compact_r1: jnp.ndarray
-    compact_r2: jnp.ndarray
-    compact_r3: jnp.ndarray   # spare bit 0: out-valid
+    ycand: jnp.ndarray        # (m_rows·C,) int32 scan-output row ids
+    ysel: jnp.ndarray         # (m_rows, 128) int32: lane | cand<<7
     scan_hi: jnp.ndarray
     shape: Tuple[int, int]
     nnz: int
@@ -75,6 +75,7 @@ class ClosG:
     V: int
     x_rows: int
     scan_stages: Tuple[int, ...]
+    C: int
 
     format_name = "CLOSG"
 
@@ -110,7 +111,9 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     sub_start = np.concatenate([[0], np.cumsum(subl_per_blk)])
     S_needed = int(sub_start[-1])
 
-    need = max(nnz, m, S_needed * LANES, 8 * BLK)
+    # nnz+1: slot `nnz` must exist as an always-zero padding slot (empty rows
+    # read it during y extraction)
+    need = max(nnz + 1, m, S_needed * LANES, 8 * BLK)
     N = 1 << int(need - 1).bit_length()
     if N > max_N:
         raise ClosRoutingError(f"matrix too large for clos-gather (N={N})")
@@ -144,11 +147,33 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     for k in scan_stages:
         scan_guards |= ((reach_v >= (1 << k)).astype(np.uint32) << k)
 
-    nonempty = np.nonzero(lengths > 0)[0].astype(np.int64)
-    last_slot = (csr.ia[1:].astype(np.int64) - 1)[nonempty]
-    compact = route_clos(last_slot, nonempty, N)
-    out_valid = np.zeros(N, dtype=np.uint32)
-    out_valid[nonempty] = 1
+    # --- y extraction: row-gather of end-slot rows + per-slot select -------
+    # empty rows read slot nnz (a padding slot that stays exactly 0)
+    end_slot = np.full(m, nnz, np.int64)
+    ne = lengths > 0
+    end_slot[ne] = csr.ia[1:].astype(np.int64)[ne] - 1
+    m_rows = (m + LANES - 1) // LANES
+    end_pad = np.full(m_rows * LANES, nnz, np.int64)
+    end_pad[:m] = end_slot
+    src_row = (end_pad // LANES).reshape(m_rows, LANES)
+    ycand_l, cidx = [], np.zeros((m_rows, LANES), np.uint32)
+    C = 1
+    for j in range(m_rows):
+        u, inv = np.unique(src_row[j], return_inverse=True)
+        ycand_l.append(u)
+        cidx[j] = inv.astype(np.uint32)
+        C = max(C, len(u))
+    if C > 32:
+        raise ClosRoutingError(f"y-extraction candidate count {C} > 32 "
+                               "(extreme row-length skew)")
+    # stored candidate-major (C, m_rows) so the kernel slices contiguous
+    # per-candidate blocks
+    ycand = np.zeros((C, m_rows), np.int32)
+    for j, u in enumerate(ycand_l):
+        ycand[: len(u), j] = u
+        ycand[len(u):, j] = u[-1] if len(u) else 0
+    ysel = ((end_pad % LANES).astype(np.uint32).reshape(m_rows, LANES)
+            | (cidx << 7))  # bits [7,13): candidate id (C <= 32)
 
     spare_mask = (1 << SPARE_BITS) - 1
     dummy = np.zeros((SUB, LANES), np.int32)
@@ -161,14 +186,13 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         perm_r1=jnp.asarray(_pack(perm.r1)),
         perm_r2=jnp.asarray(_pack(perm.r2)),
         perm_r3=jnp.asarray(_pack(perm.r3, scan_guards & spare_mask)),
-        compact_r1=jnp.asarray(_pack(compact.r1)),
-        compact_r2=jnp.asarray(_pack(compact.r2)),
-        compact_r3=jnp.asarray(_pack(compact.r3, out_valid)),
+        ycand=jnp.asarray(ycand.reshape(-1)),
+        ysel=jnp.asarray(ysel.view(np.int32)),
         scan_hi=jnp.asarray(scan_hi.view(np.int32).reshape(S, LANES)
                             if scan_hi.any() else dummy),
         shape=(m, n), nnz=nnz, nnz_expanded=csr.nnz_expanded,
         N=N, V=V, x_rows=int((n + LANES - 1) // LANES),
-        scan_stages=scan_stages,
+        scan_stages=scan_stages, C=C,
     )
 
 
@@ -177,7 +201,23 @@ def _windows(A: ClosG, x):
     n_rows = A.x_rows
     x2d = jnp.pad(x.astype(A.vals_cs.dtype),
                   (0, n_rows * LANES - x.shape[0])).reshape(n_rows, LANES)
-    return jnp.take(x2d, A.rowidx, axis=0)
+    return x2d.at[A.rowidx].get(mode="promise_in_bounds")
+
+
+def _extract_y_xla(A: ClosG, v):
+    """Row-gather the ≤C candidate scan rows per 128-row y group, lane-pick
+    each, select by candidate id."""
+    C = A.C
+    m_rows = A.ycand.shape[0] // C
+    cands = v.at[A.ycand].get(mode="promise_in_bounds").reshape(
+        C, m_rows, LANES)
+    lam = A.ysel & 0x7F
+    cid = (A.ysel >> 7) & 0x3F
+    y = jnp.zeros((m_rows, LANES), v.dtype)
+    for c in range(C):
+        pick = jnp.take_along_axis(cands[c], lam, axis=1)
+        y = jnp.where(cid == c, pick, y)
+    return y.reshape(-1)[: A.m]
 
 
 @register_spmv("CLOSG", "xla")
@@ -194,13 +234,7 @@ def spmv_closg_xla(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
         guard = _stage_bit(k, A.perm_r3, A.scan_hi)
         shifted = jnp.roll(v.reshape(-1), 1 << k).reshape(v.shape)
         v = v + jnp.where(guard, shifted, 0.0)
-    v = _invreg_xla(v, A.compact_r1)
-    v = _t_fwd(v, V)
-    v = _invreg_xla(v, A.compact_r2)
-    v = _t_bwd(v, V)
-    v = _invreg_xla(v, A.compact_r3)
-    v = jnp.where(((A.compact_r3 >> SPARE_SHIFT) & 1) != 0, v, 0.0)
-    return v.reshape(-1)[: A.m]
+    return _extract_y_xla(A, v)
 
 
 # ------------------------------------------------------------------- Pallas
@@ -210,11 +244,28 @@ def _gather_mul_kernel(wins_ref, lam_ref, vals_ref, o_ref):
     o_ref[:] = g * vals_ref[:]
 
 
+def _extract_y_kernel(meta, cands_ref, ysel_ref, o_ref):
+    """cands (C·m_rows, 128) candidate-major stacked rows; picks + selects."""
+    C, m_rows = meta
+    sel = ysel_ref[:]
+    lam = sel & 0x7F
+    cid = (sel >> 7) & 0x3F
+    y = jnp.zeros(sel.shape, o_ref.dtype)
+    for c in range(C):
+        block = cands_ref[c * m_rows:(c + 1) * m_rows, :]
+        pick = jnp.take_along_axis(block, lam, axis=1)
+        y = jnp.where(cid == c, pick, y)
+    o_ref[:] = y
+
+
 @register_spmv("CLOSG", "pallas")
 def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
-    from .clos_pallas import (_call, _invreg_kernel, _r3_valid_kernel,
+    from .clos_pallas import (_call, _invreg_kernel,
                               _t_fwd as tp_fwd, _t_bwd as tp_bwd)
     from .clos_pallas import _r3_scan_kernel_noval
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     N, V = A.N, A.V
     S = SUB * V
     wins = _windows(A, x)
@@ -225,12 +276,20 @@ def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     v = tp_bwd(v, V)
     v = _call(partial(_r3_scan_kernel_noval, (S, A.scan_stages)), v,
               A.perm_r3, A.scan_hi)
-    v = _call(_invreg_kernel, v, A.compact_r1)
-    v = tp_fwd(v, V)
-    v = _call(_invreg_kernel, v, A.compact_r2)
-    v = tp_bwd(v, V)
-    v = _call(_r3_valid_kernel, v, A.compact_r3)
-    return v.reshape(-1)[: A.m]
+    C = A.C
+    m_rows = A.ycand.shape[0] // C
+    cands = v.at[A.ycand].get(mode="promise_in_bounds")
+    interpret = jax.default_backend() not in ("tpu",)
+    y = pl.pallas_call(
+        partial(_extract_y_kernel, (C, m_rows)),
+        out_shape=jax.ShapeDtypeStruct((m_rows, LANES), v.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(cands, A.ysel)
+    return y.reshape(-1)[: A.m]
 
 
 def execute_closg_numpy(A: ClosG, x: np.ndarray) -> np.ndarray:
@@ -267,9 +326,15 @@ def execute_closg_numpy(A: ClosG, x: np.ndarray) -> np.ndarray:
         sh = np.zeros_like(w)
         sh[d:] = w[:-d]
         w = w + np.where(guard, sh, 0.0)
-    w = apply_clos_numpy(w, ClosPerm(V=V, r1=unpack(A.compact_r1),
-                                     r2=unpack(A.compact_r2),
-                                     r3=unpack(A.compact_r3)))
-    valid = (np.asarray(A.compact_r3).view(np.uint32).reshape(-1)
-             >> SPARE_SHIFT) & 1
-    return (w * valid)[: A.m]
+    C = A.C
+    w2 = w.reshape(-1, LANES)
+    m_rows = np.asarray(A.ycand).shape[0] // C
+    cands = w2[np.asarray(A.ycand)].reshape(C, m_rows, LANES)
+    sel = np.asarray(A.ysel).view(np.uint32)
+    lam_y = (sel & 0x7F).astype(np.int64)
+    cid = (sel >> 7) & 0x3F
+    y = np.zeros((m_rows, LANES))
+    for c in range(C):
+        pick = np.take_along_axis(cands[c], lam_y, axis=1)
+        y = np.where(cid == c, pick, y)
+    return y.reshape(-1)[: A.m]
