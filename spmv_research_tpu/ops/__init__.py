@@ -8,5 +8,7 @@ from . import clos_mcast   # registers CLOSM xla+pallas impls
 from . import clos_gather  # registers CLOSG xla+pallas impls
 from .bfly import build_bfly, Bfly
 from .clos import build_clos, Clos
+from . import gatherk   # registers SELLG spmm + CSR sddmm gather impls
+from .gatherk import build_sellg, SellG
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
 from .value_compress import CSRLUT, build_csr_lut

@@ -117,3 +117,52 @@ def test_trace_region_runs():
     with trace_region("COMPUTATION-SpMV"):
         import jax.numpy as jnp
         _ = jnp.zeros(4) + 1
+
+
+def test_spmm_sellg_vs_scipy(rng):
+    import jax.numpy as jnp
+    from conftest import random_host_csr
+    from spmv_research_tpu.ops import build_sellg, spmm
+
+    host = random_host_csr(300, 200, 0.02, rng)
+    A = build_sellg(host)
+    X = rng.uniform(-1, 1, (200, 16)).astype(np.float32)
+    Y = np.asarray(spmm(A, jnp.asarray(X)))
+    want = host.to_scipy() @ X.astype(np.float64)
+    assert np.max(np.abs(Y - want)) < 1e-4
+
+
+def test_spmm_sellg_skewed_rows(rng):
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+    from spmv_research_tpu.ops import build_sellg, spmm
+
+    # one dense row + many tiny rows + empty rows
+    m, n = 200, 150
+    rows = np.concatenate([np.full(n, 3), np.arange(50) + 100])
+    cols = np.concatenate([np.arange(n), rng.integers(0, n, 50)])
+    vals = rng.uniform(-1, 1, rows.shape[0])
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    mat.sum_duplicates()
+    host = HostCSR.from_scipy(mat)
+    A = build_sellg(host)
+    X = rng.uniform(-1, 1, (n, 8)).astype(np.float32)
+    Y = np.asarray(spmm(A, jnp.asarray(X)))
+    want = mat @ X.astype(np.float64)
+    assert np.max(np.abs(Y - want)) < 1e-4
+
+
+def test_sddmm_gather_vs_reference(rng):
+    import jax.numpy as jnp
+    from conftest import random_host_csr
+    from spmv_research_tpu.convert import build_csr
+    from spmv_research_tpu.ops import sddmm
+
+    host = random_host_csr(300, 200, 0.02, rng)
+    S = build_csr(host)
+    A = rng.uniform(-1, 1, (300, 16)).astype(np.float32)
+    B = rng.uniform(-1, 1, (200, 16)).astype(np.float32)
+    got = np.asarray(sddmm(S, jnp.asarray(A), jnp.asarray(B), impl="gather"))
+    want = np.asarray(sddmm(S, jnp.asarray(A), jnp.asarray(B), impl="xla"))
+    assert np.max(np.abs(got[: host.nnz] - want[: host.nnz])) < 1e-4
