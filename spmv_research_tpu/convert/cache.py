@@ -37,8 +37,12 @@ def matrix_digest(csr: HostCSR) -> str:
     return h.hexdigest()[:24]
 
 
+SCHEMA_VERSION = 3  # bump when any format pytree's field set changes
+
+
 def _key(csr: HostCSR, fmt_name: str, kwargs: dict) -> str:
     kv = "_".join(f"{k}={kwargs[k]}" for k in sorted(kwargs))
+    kv = f"v{SCHEMA_VERSION}_{kv}"
     return f"{matrix_digest(csr)}_{fmt_name}_{hashlib.sha1(kv.encode()).hexdigest()[:8]}"
 
 

@@ -42,31 +42,36 @@ from .clos import (LANE2_SHIFT, ROT_SHIFT, SPARE_BITS, SPARE_SHIFT,
 
 
 @partial(_register,
-         data_fields=("rowidx", "lam", "vals_cs",
+         data_fields=("rowidx", "vals_cs",
                       "perm_r1", "perm_r2", "perm_r3",
-                      "ycand", "ysel",
+                      "ycand", "ysel", "ysel_w", "wstart", "border",
                       "scan_hi"),
          meta_fields=("shape", "nnz", "nnz_expanded", "N", "V", "x_rows",
-                      "scan_stages", "C"))
+                      "scan_stages", "C", "W", "yext_classes"))
 @dataclasses.dataclass(frozen=True)
 class ClosG:
     """Window-gather + Clos SpMV program (packed words as in ``clos.Clos``).
 
-    Front end: ``rowidx[s]`` = x2d row feeding sublane s; ``lam`` = per-slot
-    source lane (col mod 128). Back end (y extraction, replacing a third
+    Front end: ``rowidx[s]`` = x2d row feeding sublane s; the per-slot source
+    lane λ = col mod 128 rides in ``perm_r1``'s spare bits [17,24) — the r1
+    word is co-located with the column-sorted slot, so one plane read feeds
+    both the window lane-pick and the r1 layer (saves a 4 MB λ array on the
+    HBM-bound pipeline). Back end (y extraction, replacing a third
     Clos network): each 128-row y group draws its row-end slots from at most
     ``C`` scan-output rows — ``ycand[j·C + c]`` names them; ``ysel`` packs,
     per y slot, the candidate id (bits [7,11)) and the source lane (bits
     [0,7)). ``perm_r3`` spare bits carry the scan guards."""
 
     rowidx: jnp.ndarray       # (8V,) int32
-    lam: jnp.ndarray          # (8V, 128) int32: bits[0,7) lane; spare unused
     vals_cs: jnp.ndarray      # (8V, 128) values in padded column-sorted order
     perm_r1: jnp.ndarray
     perm_r2: jnp.ndarray
     perm_r3: jnp.ndarray      # spare bits: scan guards (low stages)
     ycand: jnp.ndarray        # (m_rows·C,) int32 scan-output row ids
     ysel: jnp.ndarray         # (m_rows, 128) int32: lane | cand<<7
+    ysel_w: jnp.ndarray       # (m_rows_pad, 128) int32: lane | cid<<7 | empty<<14
+    wstart: jnp.ndarray       # (m_rows_pad,) int32 per-group window start v-row
+    border: jnp.ndarray       # (n_batches,) int32 batch ids sorted by class
     scan_hi: jnp.ndarray
     shape: Tuple[int, int]
     nnz: int
@@ -76,6 +81,8 @@ class ClosG:
     x_rows: int
     scan_stages: Tuple[int, ...]
     C: int
+    W: int                    # max window octaves per group (0 = legacy)
+    yext_classes: Tuple[Tuple[int, int, int], ...]  # (octaves, base, count)
 
     format_name = "CLOSG"
 
@@ -175,24 +182,71 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     ysel = ((end_pad % LANES).astype(np.uint32).reshape(m_rows, LANES)
             | (cidx << 7))  # bits [7,13): candidate id (C <= 32)
 
+    # --- fused pallas extraction: per-group (8w,128) scan-row windows ------
+    # end slots are monotone in row, so each y row (= group of 128 matrix
+    # rows) draws its end-slot v-rows from a contiguous range of w_g octaves
+    # of 8. Groups are processed in batches of 8; batches are sorted into
+    # classes by max w_g so the common case (w=1) does one window's work.
+    # Empty rows get bit 14 (masked to zero in-kernel) and read no slot.
+    m_rows_pad = ((m_rows + SUB - 1) // SUB) * SUB
+    n_batches = m_rows_pad // SUB
+    src2 = np.zeros((m_rows_pad, LANES), np.int64)
+    src2[:m_rows] = (end_pad // LANES).reshape(m_rows, LANES)
+    emp2 = np.ones((m_rows_pad, LANES), bool)
+    emp2.reshape(-1)[:m] = ~ne
+    smin = np.where(emp2, np.int64(S - 1), src2).min(axis=1)
+    smax = np.where(emp2, np.int64(0), src2).max(axis=1)
+    has = np.logical_not(emp2.all(axis=1))
+    smin = np.where(has, smin, 0)
+    smax = np.where(has, np.maximum(smax, smin), 0)
+    w_g = (smax - smin) // SUB + 1                     # octaves per group
+    W = int(w_g.max()) if m_rows_pad else 1
+    if W <= 8:
+        wstart = np.minimum(smin, S - SUB * w_g).astype(np.int32)
+        cidp = np.clip(src2 - wstart[:, None], 0, SUB * W - 1)
+        ysel_w = ((end_pad % LANES).astype(np.uint32)
+                  .reshape(m_rows, LANES))
+        ysel_w = np.concatenate(
+            [ysel_w, np.zeros((m_rows_pad - m_rows, LANES), np.uint32)])
+        ysel_w |= (cidp.astype(np.uint32) << 7)
+        ysel_w |= (emp2.astype(np.uint32) << 14)
+        wb = w_g.reshape(n_batches, SUB).max(axis=1)   # batch class
+        border = np.argsort(wb, kind="stable").astype(np.int32)
+        counts = np.bincount(wb[border], minlength=9)  # index 1..8
+        yext_classes = []
+        base = 0
+        for c in range(1, 9):
+            if counts[c]:
+                yext_classes.append((int(c), int(base), int(counts[c])))
+                base += int(counts[c])
+    else:  # extreme skew: fall back to the legacy candidate-plane back end
+        W = 0
+        wstart = np.zeros(SUB, np.int32)
+        ysel_w = np.zeros((SUB, LANES), np.uint32)
+        border = np.zeros(1, np.int32)
+        yext_classes = []
+
     spare_mask = (1 << SPARE_BITS) - 1
     dummy = np.zeros((SUB, LANES), np.int32)
     scan_hi = (scan_guards >> SPARE_BITS).astype(np.uint32)
 
     return ClosG(
         rowidx=jnp.asarray(rowidx),
-        lam=jnp.asarray(lam.view(np.int32).reshape(S, LANES)),
         vals_cs=jnp.asarray(vals_cs.reshape(S, LANES)),
-        perm_r1=jnp.asarray(_pack(perm.r1)),
+        perm_r1=jnp.asarray(_pack(perm.r1, lam)),
         perm_r2=jnp.asarray(_pack(perm.r2)),
         perm_r3=jnp.asarray(_pack(perm.r3, scan_guards & spare_mask)),
         ycand=jnp.asarray(ycand.reshape(-1)),
         ysel=jnp.asarray(ysel.view(np.int32)),
+        ysel_w=jnp.asarray(ysel_w.view(np.int32)),
+        wstart=jnp.asarray(wstart),
+        border=jnp.asarray(border),
         scan_hi=jnp.asarray(scan_hi.view(np.int32).reshape(S, LANES)
                             if scan_hi.any() else dummy),
         shape=(m, n), nnz=nnz, nnz_expanded=csr.nnz_expanded,
         N=N, V=V, x_rows=int((n + LANES - 1) // LANES),
-        scan_stages=scan_stages, C=C,
+        scan_stages=scan_stages, C=C, W=W,
+        yext_classes=tuple(yext_classes),
     )
 
 
@@ -224,7 +278,8 @@ def _extract_y_xla(A: ClosG, v):
 def spmv_closg_xla(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     N, V = A.N, A.V
     wins = _windows(A, x)
-    v = jnp.take_along_axis(wins, A.lam & 0x7F, axis=1) * A.vals_cs
+    lam = (A.perm_r1 >> SPARE_SHIFT) & 0x7F
+    v = jnp.take_along_axis(wins, lam, axis=1) * A.vals_cs
     v = _invreg_xla(v, A.perm_r1)
     v = _t_fwd(v, V)
     v = _invreg_xla(v, A.perm_r2)
@@ -239,9 +294,14 @@ def spmv_closg_xla(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------------- Pallas
 
-def _gather_mul_kernel(wins_ref, lam_ref, vals_ref, o_ref):
-    g = jnp.take_along_axis(wins_ref[:], lam_ref[:] & 0x7F, axis=1)
-    o_ref[:] = g * vals_ref[:]
+def _gmul_r1_kernel(wins_ref, p_ref, vals_ref, o_ref):
+    """Window lane-pick (λ in r1 spare bits) + value multiply + r1 layer,
+    fused: one kernel instead of two saves an 8 MB v round-trip plus the
+    4 MB λ plane on the HBM-bound pipeline."""
+    from .clos_pallas import _invreg_ops
+    w = p_ref[:]
+    g = jnp.take_along_axis(wins_ref[:], (w >> SPARE_SHIFT) & 0x7F, axis=1)
+    o_ref[:] = _invreg_ops(g * vals_ref[:], w)
 
 
 def _extract_y_kernel(meta, cands_ref, ysel_ref, o_ref):
@@ -262,24 +322,38 @@ def _extract_y_kernel(meta, cands_ref, ysel_ref, o_ref):
 def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     from .clos_pallas import (_call, _invreg_kernel,
                               _t_fwd as tp_fwd, _t_bwd as tp_bwd)
-    from .clos_pallas import _r3_scan_kernel_noval
+    from .clos_pallas import _r3_scan_kernel_noval, _r3_scan_yext_kernel
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, V = A.N, A.V
     S = SUB * V
     wins = _windows(A, x)
-    v = _call(_gather_mul_kernel, wins, A.lam, A.vals_cs)
-    v = _call(_invreg_kernel, v, A.perm_r1)
+    v = _call(_gmul_r1_kernel, wins, A.perm_r1, A.vals_cs)
     v = tp_fwd(v, V)
     v = _call(_invreg_kernel, v, A.perm_r2)
     v = tp_bwd(v, V)
+    interpret = jax.default_backend() not in ("tpu",)
+    if A.W:
+        m_rows_pad = A.ysel_w.shape[0]
+        y = pl.pallas_call(
+            partial(_r3_scan_yext_kernel,
+                    (S, A.scan_stages, A.yext_classes)),
+            out_shape=jax.ShapeDtypeStruct((m_rows_pad, LANES), v.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((S, LANES), v.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(v, A.perm_r3, A.scan_hi, A.ysel_w, A.wstart, A.border)
+        return y.reshape(-1)[: A.m]
     v = _call(partial(_r3_scan_kernel_noval, (S, A.scan_stages)), v,
               A.perm_r3, A.scan_hi)
     C = A.C
     m_rows = A.ycand.shape[0] // C
     cands = v.at[A.ycand].get(mode="promise_in_bounds")
-    interpret = jax.default_backend() not in ("tpu",)
     y = pl.pallas_call(
         partial(_extract_y_kernel, (C, m_rows)),
         out_shape=jax.ShapeDtypeStruct((m_rows, LANES), v.dtype),
@@ -309,7 +383,7 @@ def execute_closg_numpy(A: ClosG, x: np.ndarray) -> np.ndarray:
     x2d[: x.shape[0]] = x
     x2d = x2d.reshape(n_rows, LANES)
     wins = x2d[np.asarray(A.rowidx)]
-    lam = np.asarray(A.lam).view(np.uint32) & 0x7F
+    lam = (np.asarray(A.perm_r1).view(np.uint32) >> SPARE_SHIFT) & 0x7F
     w = np.take_along_axis(wins, lam.astype(np.int64), axis=1)
     w = (w * np.asarray(A.vals_cs).astype(np.float64)).reshape(-1)
     w = apply_clos_numpy(w, ClosPerm(V=V, r1=unpack(A.perm_r1),

@@ -86,6 +86,66 @@ def _r3_scan_kernel_noval(meta, v_ref, p_ref, hi_ref, o_ref):
     o_ref[:] = v
 
 
+def _r3_scan_yext_kernel(meta, v_ref, p_ref, hi_ref, ysel_ref, wstart_ref,
+                         border_ref, y_ref, scr_ref):
+    """r3 layer + segmented scan + fused y extraction.
+
+    Writes y (m_rows_pad, 128) directly instead of materializing the scanned
+    v to HBM and row-gathering C candidate planes (the former back end cost
+    ~44 us of the 135 us pipeline at N=2^20 — 2×C×0.7 MB of HBM plus C
+    lane-picks). The scanned v lands in a VMEM scratch; each y row (group of
+    128 matrix rows) reads dynamic (8,128) sublane windows at its prefetched
+    start ``wstart[g]`` (end slots are monotone in the row, so a group's
+    end-slot v-rows span ≤ 8·w_g rows) and resolves each y slot with one
+    lane-pick + one 8-deep sublane-pick per window octave. The picks are
+    broadcast per group (one y row at a time): a per-slot two-stage pick
+    cannot compose — the 8-deep sublane pick indexes by (sublane, source
+    lane), so two slots of one y row wanting the same source lane from
+    different window rows would conflict. Batches of 8 groups are processed
+    sorted by octave class (``border``/``classes``) so the common case
+    (span ≤ 8) does exactly one window's work. Empty rows carry bit 14 of
+    ``ysel`` and are masked to zero (they read no slot at all)."""
+    S, scan_stages, classes = meta
+    w3 = p_ref[:]
+    v = _invreg_ops(v_ref[:], w3)
+    for k in scan_stages:
+        guard = _stage_bit(k, w3, hi_ref)
+        v = v + jnp.where(guard, _flat_shift(v, 1 << k, S), 0.0)
+    scr_ref[:] = v
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+
+    def make_batch(W):
+        def batch(i, base):
+            b = border_ref[base + i]
+            sel = ysel_ref[pl.ds(b * SUB, SUB), :]
+            lam = sel & 0x7F
+            cid = (sel >> 7) & 0x7F
+            emptyb = ((sel >> 14) & 1) != 0
+            y8 = jnp.zeros((SUB, LANES), y_ref.dtype)
+            for g in range(SUB):
+                ws = wstart_ref[b * SUB + g]
+                lam_g = jnp.broadcast_to(lam[g:g + 1, :], (SUB, LANES))
+                cid_g = jnp.broadcast_to(cid[g:g + 1, :], (SUB, LANES))
+                row = jnp.zeros((SUB, LANES), y_ref.dtype)
+                for k in range(W):
+                    win = scr_ref[pl.ds(ws + k * SUB, SUB), :]
+                    t = jnp.take_along_axis(win, lam_g, axis=1)
+                    if W > 1:
+                        r = jnp.take_along_axis(
+                            t, jnp.clip(cid_g - k * SUB, 0, SUB - 1),
+                            axis=0)
+                        row = jnp.where((cid_g >> 3) == k, r, row)
+                    else:
+                        row = jnp.take_along_axis(t, cid_g, axis=0)
+                y8 = jnp.where(iota0 == g, row, y8)
+            y_ref[pl.ds(b * SUB, SUB), :] = jnp.where(emptyb, 0.0, y8)
+            return base
+        return batch
+
+    for W, base, count in classes:
+        jax.lax.fori_loop(0, count, make_batch(W), base)
+
+
 def _r3_valid_kernel(v_ref, p_ref, o_ref):
     """r3 layer + out-valid mask (bit 17 of the word)."""
     w3 = p_ref[:]
