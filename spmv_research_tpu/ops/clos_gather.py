@@ -47,7 +47,7 @@ from .clos import (LANE2_SHIFT, ROT_SHIFT, SPARE_BITS, SPARE_SHIFT,
                       "ycand", "ysel", "ysel_w", "wstart", "border",
                       "scan_hi"),
          meta_fields=("shape", "nnz", "nnz_expanded", "N", "V", "x_rows",
-                      "scan_stages", "C", "W", "yext_classes"))
+                      "scan_stages", "C", "W", "yext_classes", "lut"))
 @dataclasses.dataclass(frozen=True)
 class ClosG:
     """Window-gather + Clos SpMV program (packed words as in ``clos.Clos``).
@@ -83,6 +83,7 @@ class ClosG:
     C: int
     W: int                    # max window octaves per group (0 = legacy)
     yext_classes: Tuple[Tuple[int, int, int], ...]  # (octaves, base, count)
+    lut: bool = False         # values are a 128-entry dict, idx in r1 spare
 
     format_name = "CLOSG"
 
@@ -95,12 +96,14 @@ class ClosG:
         return self.shape[1]
 
     def mem_footprint_bytes(self) -> int:
-        return (self.N * (self.vals_cs.dtype.itemsize + 7 * 4)
-                + self.rowidx.size * 4)
+        leaves = (self.rowidx, self.vals_cs, self.perm_r1, self.perm_r2,
+                  self.perm_r3, self.ysel_w, self.wstart, self.border,
+                  self.scan_hi)
+        return int(sum(l.size * l.dtype.itemsize for l in leaves))
 
 
 def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
-                      max_N: int = 1 << 20) -> ClosG:
+                      max_N: int = 1 << 20, value_lut: bool = False) -> ClosG:
     dt = np.dtype(dtype)
     m, n, nnz = csr.m, csr.n, csr.nnz
 
@@ -138,6 +141,27 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     lam[cs_slot] = (cols[css] % LANES).astype(np.uint32)
     vals_cs = np.zeros(N, dtype=dt)
     vals_cs[cs_slot] = csr.a[css].astype(dt)
+
+    # --- value LUT (DIV / CSR_CV compressed-value role) ---------------------
+    # When the matrix has ≤ 128 distinct values (pattern / quantized
+    # matrices), the per-slot value is a 7-bit dictionary index riding in
+    # perm_r1's remaining spare bits [24,31) and the 4 MB value plane
+    # disappears from both the footprint and the HBM-bound pipeline; the
+    # kernel pays one extra in-vreg lane-pick from the VMEM-resident dict.
+    # Measured (v5e, scircuit pattern twin): footprint 17.5→13.3 MB but
+    # runtime +4-8 us (the dict pick costs more than the 4 MB saved), so it
+    # is opt-in — a footprint codec, like the reference's CV formats.
+    # Reference role: DIV/div.cpp value RLE + csr_cv_block codecs.
+    lut = False
+    if value_lut:
+        uniq = np.unique(vals_cs)            # includes the 0.0 padding value
+        if uniq.shape[0] <= LANES:
+            lut = True
+            vidx = np.searchsorted(uniq, vals_cs).astype(np.uint32)
+            lam |= vidx << 7                  # spare payload: lam | vidx<<7
+            dict_pad = np.zeros(LANES, dt)
+            dict_pad[: uniq.shape[0]] = uniq
+            vals_cs = np.broadcast_to(dict_pad, (SUB, LANES)).copy()
 
     # --- perm: padded column-sorted slot -> CSR slot -----------------------
     perm = route_clos(cs_slot, css.astype(np.int64), N)
@@ -232,7 +256,7 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
 
     return ClosG(
         rowidx=jnp.asarray(rowidx),
-        vals_cs=jnp.asarray(vals_cs.reshape(S, LANES)),
+        vals_cs=jnp.asarray(vals_cs if lut else vals_cs.reshape(S, LANES)),
         perm_r1=jnp.asarray(_pack(perm.r1, lam)),
         perm_r2=jnp.asarray(_pack(perm.r2)),
         perm_r3=jnp.asarray(_pack(perm.r3, scan_guards & spare_mask)),
@@ -246,7 +270,7 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         shape=(m, n), nnz=nnz, nnz_expanded=csr.nnz_expanded,
         N=N, V=V, x_rows=int((n + LANES - 1) // LANES),
         scan_stages=scan_stages, C=C, W=W,
-        yext_classes=tuple(yext_classes),
+        yext_classes=tuple(yext_classes), lut=lut,
     )
 
 
@@ -279,7 +303,14 @@ def spmv_closg_xla(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     N, V = A.N, A.V
     wins = _windows(A, x)
     lam = (A.perm_r1 >> SPARE_SHIFT) & 0x7F
-    v = jnp.take_along_axis(wins, lam, axis=1) * A.vals_cs
+    g = jnp.take_along_axis(wins, lam, axis=1)
+    if A.lut:
+        drow = jnp.broadcast_to(A.vals_cs[0:1, :], lam.shape)
+        vals = jnp.take_along_axis(
+            drow, (A.perm_r1 >> (SPARE_SHIFT + 7)) & 0x7F, axis=1)
+    else:
+        vals = A.vals_cs
+    v = g * vals
     v = _invreg_xla(v, A.perm_r1)
     v = _t_fwd(v, V)
     v = _invreg_xla(v, A.perm_r2)
@@ -294,14 +325,22 @@ def spmv_closg_xla(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------------- Pallas
 
-def _gmul_r1_kernel(wins_ref, p_ref, vals_ref, o_ref):
+def _gmul_r1_kernel(lut, wins_ref, p_ref, vals_ref, o_ref):
     """Window lane-pick (λ in r1 spare bits) + value multiply + r1 layer,
     fused: one kernel instead of two saves an 8 MB v round-trip plus the
-    4 MB λ plane on the HBM-bound pipeline."""
+    4 MB λ plane on the HBM-bound pipeline. In LUT mode the value is one
+    more lane-pick from the 128-entry dict (vals_ref row 0), its 7-bit index
+    riding bits [24,31) of the r1 word — no value plane at all."""
     from .clos_pallas import _invreg_ops
     w = p_ref[:]
     g = jnp.take_along_axis(wins_ref[:], (w >> SPARE_SHIFT) & 0x7F, axis=1)
-    o_ref[:] = _invreg_ops(g * vals_ref[:], w)
+    if lut:
+        drow = jnp.broadcast_to(vals_ref[0:1, :], w.shape)
+        val = jnp.take_along_axis(drow, (w >> (SPARE_SHIFT + 7)) & 0x7F,
+                                  axis=1)
+    else:
+        val = vals_ref[:]
+    o_ref[:] = _invreg_ops(g * val, w)
 
 
 def _extract_y_kernel(meta, cands_ref, ysel_ref, o_ref):
@@ -329,7 +368,7 @@ def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     N, V = A.N, A.V
     S = SUB * V
     wins = _windows(A, x)
-    v = _call(_gmul_r1_kernel, wins, A.perm_r1, A.vals_cs)
+    v = _call(partial(_gmul_r1_kernel, A.lut), wins, A.perm_r1, A.vals_cs)
     v = tp_fwd(v, V)
     v = _call(_invreg_kernel, v, A.perm_r2)
     v = tp_bwd(v, V)
@@ -383,9 +422,15 @@ def execute_closg_numpy(A: ClosG, x: np.ndarray) -> np.ndarray:
     x2d[: x.shape[0]] = x
     x2d = x2d.reshape(n_rows, LANES)
     wins = x2d[np.asarray(A.rowidx)]
-    lam = (np.asarray(A.perm_r1).view(np.uint32) >> SPARE_SHIFT) & 0x7F
+    r1w = np.asarray(A.perm_r1).view(np.uint32)
+    lam = (r1w >> SPARE_SHIFT) & 0x7F
     w = np.take_along_axis(wins, lam.astype(np.int64), axis=1)
-    w = (w * np.asarray(A.vals_cs).astype(np.float64)).reshape(-1)
+    if A.lut:
+        drow = np.asarray(A.vals_cs)[0].astype(np.float64)
+        vals = drow[((r1w >> (SPARE_SHIFT + 7)) & 0x7F).astype(np.int64)]
+    else:
+        vals = np.asarray(A.vals_cs).astype(np.float64)
+    w = (w * vals).reshape(-1)
     w = apply_clos_numpy(w, ClosPerm(V=V, r1=unpack(A.perm_r1),
                                      r2=unpack(A.perm_r2),
                                      r3=unpack(A.perm_r3)))

@@ -52,3 +52,27 @@ def test_closg_pathological(rng):
     x = rng.uniform(-1, 1, n)
     scale = np.abs(mat) @ np.abs(x) + 1e-30
     assert np.max(np.abs(execute_closg_numpy(A, x) - mat @ x) / scale) < 1e-6
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_closg_value_lut(rng, impl):
+    """Pattern/quantized matrices: value dict rides r1 spare bits (DIV/CV
+    compressed-value role) — footprint drops by the whole value plane."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+
+    m = n = 400
+    mat = sp.random(m, n, 0.02, random_state=7, format="csr")
+    mat.data = rng.choice([1.0, -1.0, 0.5, 2.0], mat.nnz)  # 4 distinct values
+    host = HostCSR.from_scipy(mat)
+    A = build_clos_gather(host, value_lut=True)
+    assert A.lut
+    A_plain = build_clos_gather(host, value_lut=False)
+    assert A.mem_footprint_bytes() < A_plain.mem_footprint_bytes()
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x), impl=impl))
+    want = mat @ x.astype(np.float64)
+    assert np.allclose(y, want, atol=1e-4)
+    # numpy host reference too
+    y64 = execute_closg_numpy(A, x.astype(np.float64))
+    assert np.allclose(y64, want, atol=1e-8)

@@ -64,13 +64,27 @@ def main():
         from spmv_research_tpu.ops.clos_gather import spmv_closg_pallas
         return spmv_closg_pallas(A, x)
 
-    stages = [("wins", p_wins), ("gmul_r1", p_gmul), ("t_fwd", p_tf),
-              ("r2", p_r2), ("t_bwd", p_tb), ("r3scan", p_r3),
-              ("full", p_full)]
+    import dataclasses as dc
+    A_noscan = dc.replace(A, scan_stages=())
+    A_noext = dc.replace(A, yext_classes=((1, 0, 0),))
+
+    def p_full_in(x, A):
+        from spmv_research_tpu.ops.clos_gather import spmv_closg_pallas
+        return spmv_closg_pallas(A, x)
+
+    n_batches = A.ysel_w.shape[0] // SUB
+    A_w1 = dc.replace(A, yext_classes=((1, 0, n_batches),))
+    A_w3 = dc.replace(A, yext_classes=((3, 0, n_batches),))
+    stages = [("t_bwd", p_tb, A),
+              ("r3scan", p_r3, A), ("full", p_full, A),
+              ("full_noscan", p_full_in, A_noscan),
+              ("full_noext", p_full_in, A_noext),
+              ("full_allw1", p_full_in, A_w1),
+              ("full_allw3", p_full_in, A_w3)]
     prev = 0.0
-    for name, fn in stages:
-        t = measure_op(fn, x, A, k_lo=16, k_hi=272, reps=3, warmup=1)
-        print(f"{name:10s} cum={t*1e6:8.1f} us  delta={(t-prev)*1e6:8.1f} us",
+    for name, fn, fmt in stages:
+        t = measure_op(fn, x, fmt, k_lo=16, k_hi=272, reps=3, warmup=1)
+        print(f"{name:12s} cum={t*1e6:8.1f} us  delta={(t-prev)*1e6:8.1f} us",
               flush=True)
         prev = t
 
