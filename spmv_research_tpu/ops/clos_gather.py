@@ -47,7 +47,7 @@ from .clos import (LANE2_SHIFT, ROT_SHIFT, SPARE_BITS, SPARE_SHIFT,
                       "ycand", "ysel", "ysel_w", "wstart", "border",
                       "scan_hi"),
          meta_fields=("shape", "nnz", "nnz_expanded", "N", "V", "x_rows",
-                      "scan_stages", "C", "W", "yext_classes", "lut"))
+                      "scan_stages", "C", "W", "yext_classes", "use_vlut"))
 @dataclasses.dataclass(frozen=True)
 class ClosG:
     """Window-gather + Clos SpMV program (packed words as in ``clos.Clos``).
@@ -83,7 +83,7 @@ class ClosG:
     C: int
     W: int                    # max window octaves per group (0 = legacy)
     yext_classes: Tuple[Tuple[int, int, int], ...]  # (octaves, base, count)
-    lut: bool = False         # values are a 128-entry dict, idx in r1 spare
+    use_vlut: bool = False    # values are a 128-entry dict, idx in r1 spare
 
     format_name = "CLOSG"
 
@@ -270,7 +270,7 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         shape=(m, n), nnz=nnz, nnz_expanded=csr.nnz_expanded,
         N=N, V=V, x_rows=int((n + LANES - 1) // LANES),
         scan_stages=scan_stages, C=C, W=W,
-        yext_classes=tuple(yext_classes), lut=lut,
+        yext_classes=tuple(yext_classes), use_vlut=lut,
     )
 
 
@@ -304,7 +304,7 @@ def spmv_closg_xla(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     wins = _windows(A, x)
     lam = (A.perm_r1 >> SPARE_SHIFT) & 0x7F
     g = jnp.take_along_axis(wins, lam, axis=1)
-    if A.lut:
+    if A.use_vlut:
         drow = jnp.broadcast_to(A.vals_cs[0:1, :], lam.shape)
         vals = jnp.take_along_axis(
             drow, (A.perm_r1 >> (SPARE_SHIFT + 7)) & 0x7F, axis=1)
@@ -359,7 +359,7 @@ def _extract_y_kernel(meta, cands_ref, ysel_ref, o_ref):
 
 @register_spmv("CLOSG", "pallas")
 def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
-    from .clos_pallas import (_call, _invreg_kernel,
+    from .clos_pallas import (_call, _call_gridded, _invreg_kernel,
                               _t_fwd as tp_fwd, _t_bwd as tp_bwd)
     from .clos_pallas import _r3_scan_kernel_noval, _r3_scan_yext_kernel
     from jax.experimental import pallas as pl
@@ -368,9 +368,11 @@ def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     N, V = A.N, A.V
     S = SUB * V
     wins = _windows(A, x)
-    v = _call(partial(_gmul_r1_kernel, A.lut), wins, A.perm_r1, A.vals_cs)
+    v = _call_gridded(partial(_gmul_r1_kernel, A.use_vlut), wins, A.perm_r1,
+                      A.vals_cs) if not A.use_vlut else _call(
+        partial(_gmul_r1_kernel, A.use_vlut), wins, A.perm_r1, A.vals_cs)
     v = tp_fwd(v, V)
-    v = _call(_invreg_kernel, v, A.perm_r2)
+    v = _call_gridded(_invreg_kernel, v, A.perm_r2)
     v = tp_bwd(v, V)
     interpret = jax.default_backend() not in ("tpu",)
     if A.W:
@@ -425,7 +427,7 @@ def execute_closg_numpy(A: ClosG, x: np.ndarray) -> np.ndarray:
     r1w = np.asarray(A.perm_r1).view(np.uint32)
     lam = (r1w >> SPARE_SHIFT) & 0x7F
     w = np.take_along_axis(wins, lam.astype(np.int64), axis=1)
-    if A.lut:
+    if A.use_vlut:
         drow = np.asarray(A.vals_cs)[0].astype(np.float64)
         vals = drow[((r1w >> (SPARE_SHIFT + 7)) & 0x7F).astype(np.int64)]
     else:

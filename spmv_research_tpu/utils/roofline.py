@@ -56,8 +56,9 @@ def spmv_bytes(format_obj, value_bytes: int | None = None) -> int:
         values = None
         for attr in ("data", "vals", "diag", "lut"):
             values = getattr(format_obj, attr, None)
-            if values is not None:
+            if values is not None and hasattr(values, "dtype"):
                 break
+            values = None
         value_bytes = values.dtype.itemsize if values is not None else 4
     return (format_obj.mem_footprint_bytes()
             + format_obj.n * value_bytes + format_obj.m * value_bytes)

@@ -66,7 +66,7 @@ def test_closg_value_lut(rng, impl):
     mat.data = rng.choice([1.0, -1.0, 0.5, 2.0], mat.nnz)  # 4 distinct values
     host = HostCSR.from_scipy(mat)
     A = build_clos_gather(host, value_lut=True)
-    assert A.lut
+    assert A.use_vlut
     A_plain = build_clos_gather(host, value_lut=False)
     assert A.mem_footprint_bytes() < A_plain.mem_footprint_bytes()
     x = rng.uniform(-1, 1, n).astype(np.float32)

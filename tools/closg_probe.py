@@ -45,7 +45,8 @@ def main():
         return _windows(A, x)
 
     def p_gmul(x, A):
-        return _call(_gmul_r1_kernel, _windows(A, x), A.perm_r1, A.vals_cs)
+        return _call(partial(_gmul_r1_kernel, A.use_vlut), _windows(A, x),
+                     A.perm_r1, A.vals_cs)
 
     def p_tf(x, A):
         return _t_fwd(p_gmul(x, A), V)
