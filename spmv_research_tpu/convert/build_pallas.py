@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from ..core.host import HostCSR
 from ..ops.bfly import build_bfly
 from ..ops.clos import build_clos
-from ..ops.clos_gather import build_clos_gather
+from ..ops.clos_gather import build_clos_gather_auto as build_clos_gather
 from ..ops.clos_route import ClosRoutingError
 from ..ops.routing import RoutingError
 from .cache import cached_build

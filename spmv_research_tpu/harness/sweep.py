@@ -54,6 +54,19 @@ from ..ops.value_compress import build_csr_lut as _build_csr_lut
 FORMAT_BUILDERS["csr_lut"] = _build_csr_lut
 
 
+def _cached(builder, key):
+    from ..convert.cache import cached_build
+    return lambda h, dtype: cached_build(builder, h, key, dtype=dtype)
+
+
+from ..ops.clos import build_clos as _build_clos
+from ..ops.clos_gather import build_clos_gather_auto as _build_closg
+from ..ops.gatherk import build_sellg as _build_sellg
+FORMAT_BUILDERS["clos"] = _cached(_build_clos, "clos")
+FORMAT_BUILDERS["closg"] = _cached(_build_closg, "closg")
+FORMAT_BUILDERS["sellg"] = lambda h, dtype: _build_sellg(h, dtype=dtype)
+
+
 def load_matrix(spec: str, cfg: BenchConfig):
     """spec: path to .mtx, or an 11-arg synthetic parameter line."""
     t0 = time.time()

@@ -102,6 +102,87 @@ class ClosG:
         return int(sum(l.size * l.dtype.itemsize for l in leaves))
 
 
+@partial(_register, data_fields=("chunks",),
+         meta_fields=("shape", "nnz", "nnz_expanded", "row_split"))
+@dataclasses.dataclass(frozen=True)
+class ClosGChunked:
+    """Row-chunked CLOSG: one Clos program per ≤2^20-slot row block.
+
+    The radix-1024 Clos construction caps a single program at N = 2^20
+    slots (the middle stage needs V ≤ 1024 switches), so larger matrices
+    are split into row-contiguous chunks, each compiled independently; the
+    dense x is shared (each chunk's window front end reads the same x2d)
+    and y is the concatenation of per-chunk outputs."""
+
+    chunks: Tuple[ClosG, ...]
+    shape: Tuple[int, int]
+    nnz: int
+    nnz_expanded: int
+    row_split: Tuple[int, ...]   # chunk row boundaries, len = len(chunks)+1
+
+    format_name = "CLOSG"
+
+    @property
+    def m(self):
+        return self.shape[0]
+
+    @property
+    def n(self):
+        return self.shape[1]
+
+    def mem_footprint_bytes(self) -> int:
+        return int(sum(c.mem_footprint_bytes() for c in self.chunks))
+
+
+def _rows_slice(csr: HostCSR, r0: int, r1: int) -> HostCSR:
+    lo, hi = int(csr.ia[r0]), int(csr.ia[r1])
+    return HostCSR(ia=(csr.ia[r0:r1 + 1] - csr.ia[r0]).astype(csr.ia.dtype),
+                   ja=csr.ja[lo:hi], a=csr.a[lo:hi],
+                   m=r1 - r0, n=csr.n)
+
+
+def _closg_need(csr: HostCSR, r0: int, r1: int) -> int:
+    """Exact slot need of rows [r0, r1) (mirrors build_clos_gather)."""
+    lo, hi = int(csr.ia[r0]), int(csr.ia[r1])
+    nnz_c = hi - lo
+    n_blocks = (csr.n + LANES - 1) // LANES
+    cnt = np.bincount(csr.ja[lo:hi] // LANES, minlength=n_blocks)
+    s_needed = int(((cnt + LANES - 1) // LANES).sum())
+    return max(nnz_c + 1, r1 - r0, s_needed * LANES, 8 * BLK)
+
+
+def build_clos_gather_auto(csr: HostCSR, dtype=jnp.float32,
+                           max_N: int = 1 << 20, value_lut: bool = False):
+    """build_clos_gather with automatic row chunking past the 2^20 cap."""
+    if _closg_need(csr, 0, csr.m) <= max_N:
+        return build_clos_gather(csr, dtype=dtype, max_N=max_N,
+                                 value_lut=value_lut)
+    splits = [0]
+    r0 = 0
+    nnz_per_row = max(csr.nnz / max(csr.m, 1), 1e-9)
+    while r0 < csr.m:
+        r1 = min(csr.m, r0 + max(int(0.8 * max_N / nnz_per_row), 1))
+        while _closg_need(csr, r0, r1) > max_N:
+            r1 = r0 + max((r1 - r0) * 3 // 4, 1)
+        while r1 < csr.m:
+            r_try = min(csr.m, r1 + max((r1 - r0) // 8, 1))
+            if _closg_need(csr, r0, r_try) > max_N:
+                break
+            r1 = r_try
+        if _closg_need(csr, r0, r1) > max_N:
+            raise ClosRoutingError(
+                f"rows [{r0},{r1}) exceed a single clos-gather program")
+        splits.append(r1)
+        r0 = r1
+    chunks = tuple(
+        build_clos_gather(_rows_slice(csr, splits[i], splits[i + 1]),
+                          dtype=dtype, max_N=max_N, value_lut=value_lut)
+        for i in range(len(splits) - 1))
+    return ClosGChunked(chunks=chunks, shape=(csr.m, csr.n), nnz=csr.nnz,
+                        nnz_expanded=csr.nnz_expanded,
+                        row_split=tuple(splits))
+
+
 def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
                       max_N: int = 1 << 20, value_lut: bool = False) -> ClosG:
     dt = np.dtype(dtype)
@@ -299,7 +380,9 @@ def _extract_y_xla(A: ClosG, v):
 
 
 @register_spmv("CLOSG", "xla")
-def spmv_closg_xla(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
+def spmv_closg_xla(A, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(A, ClosGChunked):
+        return jnp.concatenate([spmv_closg_xla(c, x) for c in A.chunks])
     N, V = A.N, A.V
     wins = _windows(A, x)
     lam = (A.perm_r1 >> SPARE_SHIFT) & 0x7F
@@ -358,7 +441,9 @@ def _extract_y_kernel(meta, cands_ref, ysel_ref, o_ref):
 
 
 @register_spmv("CLOSG", "pallas")
-def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
+def spmv_closg_pallas(A, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(A, ClosGChunked):
+        return jnp.concatenate([spmv_closg_pallas(c, x) for c in A.chunks])
     from .clos_pallas import (_call, _call_gridded, _invreg_kernel,
                               _t_fwd as tp_fwd, _t_bwd as tp_bwd)
     from .clos_pallas import _r3_scan_kernel_noval, _r3_scan_yext_kernel
@@ -407,8 +492,10 @@ def spmv_closg_pallas(A: ClosG, x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(-1)[: A.m]
 
 
-def execute_closg_numpy(A: ClosG, x: np.ndarray) -> np.ndarray:
+def execute_closg_numpy(A, x: np.ndarray) -> np.ndarray:
     """float64-capable host reference of the compiled program."""
+    if isinstance(A, ClosGChunked):
+        return np.concatenate([execute_closg_numpy(c, x) for c in A.chunks])
     from .clos_route import InVregPlanes, apply_invreg_numpy, ClosPerm
     from .clos_route import apply_clos_numpy
 

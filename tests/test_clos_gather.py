@@ -76,3 +76,23 @@ def test_closg_value_lut(rng, impl):
     # numpy host reference too
     y64 = execute_closg_numpy(A, x.astype(np.float64))
     assert np.allclose(y64, want, atol=1e-8)
+
+def test_closg_chunked(rng):
+    """Matrices past the 2^20 single-program cap split into row chunks."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+    from spmv_research_tpu.ops.clos_gather import (build_clos_gather_auto,
+                                                   ClosGChunked)
+
+    mat = sp.random(2000, 1500, 0.015, random_state=9, format="csr")
+    host = HostCSR.from_scipy(mat)
+    A = build_clos_gather_auto(host, max_N=16384)  # force chunking
+    assert isinstance(A, ClosGChunked) and len(A.chunks) > 1
+    assert A.row_split[0] == 0 and A.row_split[-1] == host.m
+    x = rng.uniform(-1, 1, 1500).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x), impl="pallas"))
+    want = mat @ x.astype(np.float64)
+    assert np.allclose(y, want, atol=1e-4)
+    y64 = execute_closg_numpy(A, x.astype(np.float64))
+    assert np.allclose(y64, want, atol=1e-8)
