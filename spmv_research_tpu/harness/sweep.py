@@ -65,6 +65,8 @@ from ..ops.gatherk import build_sellg as _build_sellg
 FORMAT_BUILDERS["clos"] = _cached(_build_clos, "clos")
 FORMAT_BUILDERS["closg"] = _cached(_build_closg, "closg")
 FORMAT_BUILDERS["sellg"] = lambda h, dtype: _build_sellg(h, dtype=dtype)
+from ..ops.bsr_mxu import build_bsrg as _build_bsrg
+FORMAT_BUILDERS["bsrg"] = lambda h, dtype: _build_bsrg(h, dtype=dtype)
 
 
 def load_matrix(spec: str, cfg: BenchConfig):

@@ -10,5 +10,7 @@ from .bfly import build_bfly, Bfly
 from .clos import build_clos, Clos
 from . import gatherk   # registers SELLG spmm + CSR sddmm gather impls
 from .gatherk import build_sellg, SellG
+from . import bsr_mxu   # registers BSRG spmv/spmm + BSR mxu sddmm
+from .bsr_mxu import build_bsrg, BsrG
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
 from .value_compress import CSRLUT, build_csr_lut
