@@ -125,9 +125,10 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
             for workload in workloads:
                 table = workload if workload in ("spmv", "spmm", "sddmm") else "spmv"
                 try:
-                    fmt_impls = impls or available_impls(table, A.format_name)
+                    have = available_impls(table, A.format_name)
                 except KeyError:
                     continue
+                fmt_impls = [i for i in (impls or have) if i in have]
                 if not fmt_impls:
                     continue
                 for impl in fmt_impls:

@@ -4,3 +4,4 @@ from .dist import (
 )
 from .multihost import init_multihost, weak_scaling_efficiency
 from .dist import build_col_sharded_csr, distributed_spmv_psum_scatter, ColShardedCSR
+from .dist_closg import build_sharded_closg, distributed_spmv_closg, ShardedClosG

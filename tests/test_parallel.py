@@ -105,3 +105,27 @@ def test_distributed_spmv_psum_scatter(ndev, rng):
     y = distributed_spmv_psum_scatter(A, A.pad_x(x))
     np.testing.assert_allclose(A.unpad_y(y), h.to_scipy() @ x,
                                rtol=2e-5, atol=1e-5)
+
+
+def test_distributed_closg_8dev(rng):
+    """Per-device routed programs over an nnz-balanced row split (MPMD)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+    from spmv_research_tpu.parallel.dist_closg import (build_sharded_closg,
+                                                       distributed_spmv_closg)
+
+    mat = sp.random(1600, 1200, 0.01, random_state=11, format="csr")
+    host = HostCSR.from_scipy(mat)
+    devs = jax.devices()[:8]
+    A = build_sharded_closg(host, devices=devs)
+    assert A.k == 8
+    # every shard actually lives on its own device
+    placed = {d for s in A.shards
+              for l in jax.tree_util.tree_leaves(s) for d in l.devices()}
+    assert len(placed) == 8
+    x = rng.uniform(-1, 1, 1200).astype(np.float32)
+    y = np.asarray(distributed_spmv_closg(A, jnp.asarray(x)))
+    want = mat @ x.astype(np.float64)
+    assert np.allclose(y, want, atol=1e-4)
