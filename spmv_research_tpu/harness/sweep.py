@@ -67,6 +67,8 @@ FORMAT_BUILDERS["closg"] = _cached(_build_closg, "closg")
 FORMAT_BUILDERS["sellg"] = lambda h, dtype: _build_sellg(h, dtype=dtype)
 from ..ops.bsr_mxu import build_bsrg as _build_bsrg
 FORMAT_BUILDERS["bsrg"] = lambda h, dtype: _build_bsrg(h, dtype=dtype)
+from ..ops.sellw import build_sellw as _build_sellw
+FORMAT_BUILDERS["sellw"] = _cached(_build_sellw, "sellw")
 
 
 def load_matrix(spec: str, cfg: BenchConfig):

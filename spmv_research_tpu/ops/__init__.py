@@ -12,5 +12,7 @@ from . import gatherk   # registers SELLG spmm + CSR sddmm gather impls
 from .gatherk import build_sellg, SellG
 from . import bsr_mxu   # registers BSRG spmv/spmm + BSR mxu sddmm
 from .bsr_mxu import build_bsrg, BsrG
+from . import sellw     # registers SELLW xla+pallas impls
+from .sellw import build_sellw, SellW
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
 from .value_compress import CSRLUT, build_csr_lut

@@ -45,9 +45,10 @@ from .clos import (LANE2_SHIFT, ROT_SHIFT, SPARE_BITS, SPARE_SHIFT,
          data_fields=("rowidx", "vals_cs",
                       "perm_r1", "perm_r2", "perm_r3",
                       "ycand", "ysel", "ysel_w", "wstart", "border",
-                      "scan_hi"),
+                      "scan_hi", "gbase", "nbids"),
          meta_fields=("shape", "nnz", "nnz_expanded", "N", "V", "x_rows",
-                      "scan_stages", "C", "W", "yext_classes", "use_vlut"))
+                      "scan_stages", "C", "W", "yext_classes", "use_vlut",
+                      "fused_win", "dense_blocks"))
 @dataclasses.dataclass(frozen=True)
 class ClosG:
     """Window-gather + Clos SpMV program (packed words as in ``clos.Clos``).
@@ -73,6 +74,8 @@ class ClosG:
     wstart: jnp.ndarray       # (m_rows_pad,) int32 per-group window start v-row
     border: jnp.ndarray       # (n_batches,) int32 batch ids sorted by class
     scan_hi: jnp.ndarray
+    gbase: jnp.ndarray        # (8V/8,) int32 window base (compacted x row)
+    nbids: jnp.ndarray        # (n_nonempty,) int32 nonempty x2d block ids
     shape: Tuple[int, int]
     nnz: int
     nnz_expanded: int
@@ -84,6 +87,8 @@ class ClosG:
     W: int                    # max window octaves per group (0 = legacy)
     yext_classes: Tuple[Tuple[int, int, int], ...]  # (octaves, base, count)
     use_vlut: bool = False    # values are a 128-entry dict, idx in r1 spare
+    fused_win: bool = False   # x windows sliced in-kernel from VMEM x plane
+    dense_blocks: bool = True  # nbids is the identity (skip the compaction)
 
     format_name = "CLOSG"
 
@@ -184,7 +189,8 @@ def build_clos_gather_auto(csr: HostCSR, dtype=jnp.float32,
 
 
 def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
-                      max_N: int = 1 << 20, value_lut: bool = False) -> ClosG:
+                      max_N: int = 1 << 20, value_lut: bool = False,
+                      fuse_windows: bool = False) -> ClosG:
     dt = np.dtype(dtype)
     m, n, nnz = csr.m, csr.n, csr.nnz
 
@@ -220,6 +226,40 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     rowidx[: S_needed] = for_blocks
     lam = np.zeros(N, np.uint32)
     lam[cs_slot] = (cols[css] % LANES).astype(np.uint32)
+
+    # --- fused-window front end (v2) ----------------------------------------
+    # rowidx is sorted, so after *compacting away empty x2d blocks* every
+    # 8-sublane group reads ≤ 8 consecutive compacted-x rows: the kernel
+    # slices one (8,128) window per group from the VMEM-resident x plane and
+    # resolves each slot with the conflict-free rot-select pick (8 groupwise
+    # rolls, each lane-picked per slot, selected by rot = row−base−sublane).
+    # This deletes the XLA `wins` materialization — an 8 MB HBM round trip
+    # per SpMV on the HBM-bound pipeline. rot (3 bits) rides r1 spare bits
+    # [24,27), which the value-LUT codec also wants — the two are exclusive.
+    # Measured (v5e, scircuit twin): 7.6 vs 10.2 Gnnz/s unfused — the 8
+    # groupwise rolls + per-slot selects cost more VPU time than the ~20 us
+    # HBM round trip they save, so the fused front end is OPT-IN
+    # (fuse_windows=True), kept for bandwidth-starved future targets.
+    nb = np.flatnonzero(subl_per_blk > 0)
+    fused_win = (fuse_windows and not value_lut
+                 and (nb.size + SUB) * LANES * 4 <= (4 << 20))
+    if fused_win:
+        rank = np.zeros(n_blocks, np.int64)
+        rank[nb] = np.arange(nb.size)
+        rowidx_c = np.zeros(S, np.int64)
+        rowidx_c[:S_needed] = rank[for_blocks]
+        gbase = rowidx_c.reshape(-1, SUB)[:, 0]
+        wrot = (rowidx_c - np.repeat(gbase, SUB)
+                - (np.arange(S) % SUB)) % SUB
+        assert int((rowidx_c - np.repeat(gbase, SUB)).max(initial=0)) < SUB
+        lam = lam | (wrot.astype(np.uint32)[np.arange(N) // LANES] << 7)
+        dense_blocks = nb.size == n_blocks
+        nbids = nb.astype(np.int32)
+        gbase = gbase.astype(np.int32)
+    else:
+        dense_blocks = True
+        nbids = np.zeros(1, np.int32)
+        gbase = np.zeros(1, np.int32)
     vals_cs = np.zeros(N, dtype=dt)
     vals_cs[cs_slot] = csr.a[css].astype(dt)
 
@@ -348,10 +388,12 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         border=jnp.asarray(border),
         scan_hi=jnp.asarray(scan_hi.view(np.int32).reshape(S, LANES)
                             if scan_hi.any() else dummy),
+        gbase=jnp.asarray(gbase), nbids=jnp.asarray(nbids),
         shape=(m, n), nnz=nnz, nnz_expanded=csr.nnz_expanded,
         N=N, V=V, x_rows=int((n + LANES - 1) // LANES),
         scan_stages=scan_stages, C=C, W=W,
         yext_classes=tuple(yext_classes), use_vlut=lut,
+        fused_win=fused_win, dense_blocks=dense_blocks,
     )
 
 
@@ -408,6 +450,79 @@ def spmv_closg_xla(A, x: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------------- Pallas
 
+def _gmul_r1_win_kernel(nG, gbase_ref, p_ref, vals_ref, x_ref, o_ref,
+                        win_ref):
+    """Fused window + gather + multiply + r1 layer (v2 front end).
+
+    Slices one (8,128) x window per sublane group from the VMEM-resident
+    compacted x plane (no HBM wins round trip), then resolves each slot with
+    the conflict-free rot-select pick: the per-slot lane index λ is applied
+    to *every* groupwise vertical rotation of the window before a per-slot
+    select by rot — both indices are consumed per-slot, so (unlike a
+    sublane-pick∘lane-pick composition) no two slots can conflict."""
+    from .clos_pallas import _invreg_ops
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    i = pl.program_id(0)
+
+    def fill(j, _):
+        b = gbase_ref[i * nG + j]
+        win_ref[pl.ds(j * SUB, SUB), :] = x_ref[pl.ds(b, SUB), :]
+        return 0
+
+    jax.lax.fori_loop(0, nG, fill, 0, unroll=True)
+    w = p_ref[:]
+    lam = (w >> SPARE_SHIFT) & 0x7F
+    rot = (w >> (SPARE_SHIFT + 7)) & 0x7
+    wins = win_ref[:]
+    R = wins.shape[0]
+    s_in_blk = jax.lax.broadcasted_iota(jnp.int32, wins.shape, 0) % SUB
+    acc = jnp.where(rot == 0, jnp.take_along_axis(wins, lam, axis=1), 0.0)
+    for r in range(1, SUB):
+        lo = pltpu.roll(wins, (R - r) % R, 0)
+        hi = pltpu.roll(wins, (R - r + SUB) % R, 0)
+        rotv = jnp.where(s_in_blk < SUB - r, lo, hi)
+        acc = jnp.where(rot == r, jnp.take_along_axis(rotv, lam, axis=1), acc)
+    o_ref[:] = _invreg_ops(acc * vals_ref[:], w)
+
+
+def _gmul_win(A, x):
+    """v2 front end: build the compacted VMEM x plane, run the fused kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .clos_pallas import _STREAM_BLK
+
+    S = SUB * A.V
+    xfull = jnp.pad(x.astype(A.vals_cs.dtype),
+                    (0, A.x_rows * LANES - x.shape[0])).reshape(
+                        A.x_rows, LANES)
+    x2c = xfull if A.dense_blocks else xfull.at[A.nbids].get(
+        mode="promise_in_bounds")
+    x2c = jnp.pad(x2c, ((0, SUB), (0, 0)))   # window overrun guard
+    steps = S // _STREAM_BLK if (S % _STREAM_BLK == 0
+                                 and S > _STREAM_BLK) else 1
+    rows = S // steps
+    blk = lambda i: (i, 0)  # noqa: E731
+    interpret = jax.default_backend() not in ("tpu",)
+    return pl.pallas_call(
+        partial(_gmul_r1_win_kernel, rows // SUB),
+        out_shape=jax.ShapeDtypeStruct((S, LANES), A.vals_cs.dtype),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(x2c.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rows, LANES), A.vals_cs.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(A.gbase, A.perm_r1, A.vals_cs, x2c)
+
+
 def _gmul_r1_kernel(lut, wins_ref, p_ref, vals_ref, o_ref):
     """Window lane-pick (λ in r1 spare bits) + value multiply + r1 layer,
     fused: one kernel instead of two saves an 8 MB v round-trip plus the
@@ -452,10 +567,13 @@ def spmv_closg_pallas(A, x: jnp.ndarray) -> jnp.ndarray:
 
     N, V = A.N, A.V
     S = SUB * V
-    wins = _windows(A, x)
-    v = _call_gridded(partial(_gmul_r1_kernel, A.use_vlut), wins, A.perm_r1,
-                      A.vals_cs) if not A.use_vlut else _call(
-        partial(_gmul_r1_kernel, A.use_vlut), wins, A.perm_r1, A.vals_cs)
+    if A.fused_win:
+        v = _gmul_win(A, x)
+    else:
+        wins = _windows(A, x)
+        v = _call_gridded(partial(_gmul_r1_kernel, A.use_vlut), wins,
+                          A.perm_r1, A.vals_cs) if not A.use_vlut else _call(
+            partial(_gmul_r1_kernel, A.use_vlut), wins, A.perm_r1, A.vals_cs)
     v = tp_fwd(v, V)
     v = _call_gridded(_invreg_kernel, v, A.perm_r2)
     v = tp_bwd(v, V)

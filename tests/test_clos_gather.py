@@ -96,3 +96,19 @@ def test_closg_chunked(rng):
     assert np.allclose(y, want, atol=1e-4)
     y64 = execute_closg_numpy(A, x.astype(np.float64))
     assert np.allclose(y64, want, atol=1e-8)
+
+
+@pytest.mark.parametrize("impl", ["pallas"])
+def test_closg_fused_windows(rng, impl):
+    """Opt-in fused-window front end: x windows sliced in-kernel from the
+    compacted VMEM x plane via the conflict-free rot-select pick (rot rides
+    r1 spare bits [7,10) of the spare field)."""
+    import jax.numpy as jnp
+
+    host = random_host_csr(500, 700, 0.01, rng)
+    A = build_clos_gather(host, fuse_windows=True)
+    assert A.fused_win
+    x = rng.uniform(-1, 1, 700).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x), impl=impl))
+    want = host.to_scipy() @ x.astype(np.float64)
+    assert np.allclose(y, want, atol=1e-4)
