@@ -48,7 +48,7 @@ from .clos import (LANE2_SHIFT, ROT_SHIFT, SPARE_BITS, SPARE_SHIFT,
                       "scan_hi", "gbase", "nbids"),
          meta_fields=("shape", "nnz", "nnz_expanded", "N", "V", "x_rows",
                       "scan_stages", "C", "W", "yext_classes", "use_vlut",
-                      "fused_win", "dense_blocks"))
+                      "fused_win", "dense_blocks", "scan_cap"))
 @dataclasses.dataclass(frozen=True)
 class ClosG:
     """Window-gather + Clos SpMV program (packed words as in ``clos.Clos``).
@@ -89,6 +89,7 @@ class ClosG:
     use_vlut: bool = False    # values are a 128-entry dict, idx in r1 spare
     fused_win: bool = False   # x windows sliced in-kernel from VMEM x plane
     dense_blocks: bool = True  # nbids is the identity (skip the compaction)
+    scan_cap: Tuple[int, ...] = ()  # capped stage set for the pallas scan
 
     format_name = "CLOSG"
 
@@ -356,20 +357,97 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         ysel_w |= (cidp.astype(np.uint32) << 7)
         ysel_w |= (emp2.astype(np.uint32) << 14)
         wb = w_g.reshape(n_batches, SUB).max(axis=1)   # batch class
-        border = np.argsort(wb, kind="stable").astype(np.int32)
+        border = np.argsort(wb, kind="stable").astype(np.int64)
         counts = np.bincount(wb[border], minlength=9)  # index 1..8
         yext_classes = []
         base = 0
         for c in range(1, 9):
             if counts[c]:
-                yext_classes.append((int(c), int(base), int(counts[c])))
+                yext_classes.append((int(c), int(base), int(counts[c]), 0))
                 base += int(counts[c])
+        border = border | (border << 16)               # (src | dst<<16)
     else:  # extreme skew: fall back to the legacy candidate-plane back end
         W = 0
         wstart = np.zeros(SUB, np.int32)
         ysel_w = np.zeros((SUB, LANES), np.uint32)
-        border = np.zeros(1, np.int32)
+        border = np.zeros(1, np.int64)
         yext_classes = []
+
+    # --- scan-stage capping (pallas path only) ------------------------------
+    # Guard bits are consulted per stage, so running only stages 0..K-1 turns
+    # the segmented scan into in-row *window sums* of width 2^K (Hillis-
+    # Steele): slot p holds the sum of its last min(p+1, 2^K) row elements.
+    # Row totals for the few rows longer than 2^K are then completed in
+    # extraction by summing extra picks at end−c·2^K (each covering one
+    # disjoint 2^K-chunk, the earliest the remainder). Extra picks ship as
+    # synthetic group records appended to ysel_w/wstart: border packs
+    # (src | dst<<16) and extra classes carry accum=1 so the kernel adds
+    # into the already-written y rows. The XLA and numpy back ends keep the
+    # full scan (capping there would need slow XLA gathers to fix up).
+    # Measured motivation: 10 rows >32 nnz forced 9 stages on the scircuit
+    # twin; stages cost ~1.4 us each at N=2^20.
+    scan_cap = scan_stages
+    if W and len(scan_stages) > 4:
+        bits_full = len(scan_stages)
+        # cost model: one scan stage over (S,128) ~ 9 extra-batch
+        # extractions (measured ~1.4 us/stage vs ~0.16 us/batch at N=2^20);
+        # e(K) upper-bounds the extra records by one batch per (long row,
+        # extra chunk). Ties break toward more capping (smaller K).
+        long = lengths[lengths > (1 << 4)].astype(np.int64)
+        K = min(range(4, bits_full + 1),
+                key=lambda k: 9 * k + int(((long - 1) >> k).sum()))
+        if K < bits_full:
+            cap = 1 << K
+            max_c = int((int(lengths.max()) - 1) // cap)
+            len_pad = np.zeros(m_rows_pad * LANES, np.int64)
+            len_pad[:m] = lengths
+            end2 = np.full(m_rows_pad * LANES, np.int64(nnz))
+            end2[:m] = end_slot
+            ex_ysel, ex_wstart, ex_border, ex_w = [], [], [], []
+            n_syn = n_batches
+            for c in range(1, max_c + 1):
+                live = len_pad > c * cap
+                for b in np.flatnonzero(
+                        live.reshape(-1, SUB * LANES).any(axis=1)):
+                    sl = slice(b * SUB * LANES, (b + 1) * SUB * LANES)
+                    lvg = live[sl].reshape(SUB, LANES)
+                    es = (end2[sl] - c * cap).reshape(SUB, LANES)
+                    srcg = np.where(lvg, es // LANES, 0)
+                    hasg = lvg.any(axis=1)
+                    smin_e = np.where(lvg, srcg, np.int64(S - 1)).min(axis=1)
+                    smax_e = np.where(lvg, srcg, np.int64(0)).max(axis=1)
+                    smin_e = np.where(hasg, smin_e, 0)
+                    smax_e = np.where(hasg, np.maximum(smax_e, smin_e), 0)
+                    w_e = (smax_e - smin_e) // SUB + 1
+                    if int(w_e.max()) > SUB:   # can't happen: subset of main
+                        raise ClosRoutingError("extra-pick window > 8")
+                    ws_e = np.minimum(smin_e, S - SUB * w_e).astype(np.int32)
+                    cid_e = np.clip(srcg - ws_e[:, None], 0,
+                                    SUB * SUB - 1).astype(np.uint32)
+                    sel_e = np.where(
+                        lvg, (es % LANES).astype(np.uint32) | (cid_e << 7),
+                        np.uint32(1 << 14))
+                    ex_ysel.append(sel_e)
+                    ex_wstart.append(ws_e)
+                    ex_border.append(n_syn | (b << 16))
+                    ex_w.append(int(w_e.max()))
+                    n_syn += 1
+            if ex_border and len(ex_border) <= max(n_batches // 2, 64):
+                scan_cap = tuple(range(K))
+                ysel_w = np.concatenate([ysel_w] + ex_ysel)
+                wstart = np.concatenate(
+                    [wstart] + [e.astype(np.int32) for e in ex_wstart])
+                order = np.argsort(np.asarray(ex_w), kind="stable")
+                eb = np.asarray(ex_border, np.int64)[order]
+                ecnt = np.bincount(np.asarray(ex_w)[order], minlength=9)
+                base = border.shape[0]
+                for cc in range(1, 9):
+                    if ecnt[cc]:
+                        yext_classes.append((int(cc), int(base),
+                                             int(ecnt[cc]), 1))
+                        base += int(ecnt[cc])
+                border = np.concatenate([border, eb])
+    border = border.astype(np.int32)
 
     spare_mask = (1 << SPARE_BITS) - 1
     dummy = np.zeros((SUB, LANES), np.int32)
@@ -394,6 +472,7 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         scan_stages=scan_stages, C=C, W=W,
         yext_classes=tuple(yext_classes), use_vlut=lut,
         fused_win=fused_win, dense_blocks=dense_blocks,
+        scan_cap=scan_cap,
     )
 
 
@@ -582,7 +661,7 @@ def spmv_closg_pallas(A, x: jnp.ndarray) -> jnp.ndarray:
         m_rows_pad = A.ysel_w.shape[0]
         y = pl.pallas_call(
             partial(_r3_scan_yext_kernel,
-                    (S, A.scan_stages, A.yext_classes)),
+                    (S, A.scan_cap or A.scan_stages, A.yext_classes)),
             out_shape=jax.ShapeDtypeStruct((m_rows_pad, LANES), v.dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
             + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,

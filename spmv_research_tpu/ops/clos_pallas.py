@@ -142,16 +142,18 @@ def _r3_scan_yext_kernel(meta, v_ref, p_ref, hi_ref, ysel_ref, wstart_ref,
     scr_ref[:] = v
     iota0 = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
 
-    def make_batch(W):
+    def make_batch(W, accum):
         def batch(i, base):
             b = border_ref[base + i]
-            sel = ysel_ref[pl.ds(b * SUB, SUB), :]
+            bs = b & 0xFFFF            # group-record (read) batch id
+            bd = b >> 16               # y (write) batch id
+            sel = ysel_ref[pl.ds(bs * SUB, SUB), :]
             lam = sel & 0x7F
             cid = (sel >> 7) & 0x7F
             emptyb = ((sel >> 14) & 1) != 0
             y8 = jnp.zeros((SUB, LANES), y_ref.dtype)
             for g in range(SUB):
-                ws = wstart_ref[b * SUB + g]
+                ws = wstart_ref[bs * SUB + g]
                 lam_g = jnp.broadcast_to(lam[g:g + 1, :], (SUB, LANES))
                 cid_g = jnp.broadcast_to(cid[g:g + 1, :], (SUB, LANES))
                 row = jnp.zeros((SUB, LANES), y_ref.dtype)
@@ -166,12 +168,15 @@ def _r3_scan_yext_kernel(meta, v_ref, p_ref, hi_ref, ysel_ref, wstart_ref,
                     else:
                         row = jnp.take_along_axis(t, cid_g, axis=0)
                 y8 = jnp.where(iota0 == g, row, y8)
-            y_ref[pl.ds(b * SUB, SUB), :] = jnp.where(emptyb, 0.0, y8)
+            out = jnp.where(emptyb, 0.0, y8)
+            if accum:   # extra picks (capped scan): add into written y rows
+                out = out + y_ref[pl.ds(bd * SUB, SUB), :]
+            y_ref[pl.ds(bd * SUB, SUB), :] = out
             return base
         return batch
 
-    for W, base, count in classes:
-        jax.lax.fori_loop(0, count, make_batch(W), base)
+    for W, base, count, accum in classes:
+        jax.lax.fori_loop(0, count, make_batch(W, accum), base)
 
 
 def _r3_valid_kernel(v_ref, p_ref, o_ref):

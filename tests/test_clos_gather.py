@@ -112,3 +112,37 @@ def test_closg_fused_windows(rng, impl):
     y = np.asarray(spmv(A, jnp.asarray(x), impl=impl))
     want = host.to_scipy() @ x.astype(np.float64)
     assert np.allclose(y, want, atol=1e-4)
+
+
+def test_closg_scan_cap_extra_picks(rng):
+    """A few very long rows among short ones trigger the capped pallas scan
+    (window sums of width 2^K) + extra summed picks in extraction."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+
+    m = n = 4000
+    # short rows (3 nnz) + 5 long rows (~600 nnz) => stages>4, cap kicks in
+    rows, cols = [], []
+    for i in range(m):
+        k = 600 if i in (17, 901, 902, 2500, 3999) else 3
+        rows.append(np.full(k, i))
+        cols.append(rng.choice(n, k, replace=False))
+    rows, cols = np.concatenate(rows), np.concatenate(cols)
+    vals = rng.uniform(-1, 1, rows.shape[0])
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    mat.sum_duplicates(); mat.sort_indices()
+    host = HostCSR.from_scipy(mat)
+    A = build_clos_gather(host)
+    assert A.scan_cap and len(A.scan_cap) < len(A.scan_stages)
+    assert any(cls[3] for cls in A.yext_classes)   # accum classes present
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x), impl="pallas"))
+    want = mat @ x.astype(np.float64)
+    scale = np.abs(mat) @ np.abs(x).astype(np.float64) + 1e-30
+    assert np.max(np.abs(y - want) / scale) < 1e-5
+    # XLA + numpy paths keep the full scan and must agree too
+    y2 = np.asarray(spmv(A, jnp.asarray(x), impl="xla"))
+    assert np.max(np.abs(y2 - want) / scale) < 1e-5
+    y3 = execute_closg_numpy(A, x.astype(np.float64))
+    assert np.max(np.abs(y3 - want) / scale) < 1e-6   # fp32 value plane

@@ -67,15 +67,15 @@ def main():
 
     import dataclasses as dc
     A_noscan = dc.replace(A, scan_stages=())
-    A_noext = dc.replace(A, yext_classes=((1, 0, 0),))
+    A_noext = dc.replace(A, yext_classes=((1, 0, 0, 0),))
 
     def p_full_in(x, A):
         from spmv_research_tpu.ops.clos_gather import spmv_closg_pallas
         return spmv_closg_pallas(A, x)
 
     n_batches = A.ysel_w.shape[0] // SUB
-    A_w1 = dc.replace(A, yext_classes=((1, 0, n_batches),))
-    A_w3 = dc.replace(A, yext_classes=((3, 0, n_batches),))
+    A_w1 = dc.replace(A, yext_classes=((1, 0, n_batches, 0),))
+    A_w3 = dc.replace(A, yext_classes=((3, 0, n_batches, 0),))
     stages = [("t_bwd", p_tb, A),
               ("r3scan", p_r3, A), ("full", p_full, A),
               ("full_noscan", p_full_in, A_noscan),
