@@ -25,7 +25,8 @@ def main():
     import jax.numpy as jnp
 
     from spmv_research_tpu.gen import generate_from_line
-    from spmv_research_tpu.convert import build_csr, rcm_reorder
+    from spmv_research_tpu.convert import build_csr
+    from spmv_research_tpu.convert.reorder import rcm_if_beneficial
     from spmv_research_tpu.ops import available_impls
     from spmv_research_tpu.harness import BenchConfig, bench_spmv
     from spmv_research_tpu.utils import roofline as rl
@@ -37,8 +38,9 @@ def main():
     host, feats = generate_from_line(line)
     print(f"# generated twin ({_t.time()-t0:.1f}s)", file=sys.stderr, flush=True)
     t0 = _t.time()
-    host, _ = rcm_reorder(host)
-    print(f"# rcm ({_t.time()-t0:.1f}s)", file=sys.stderr, flush=True)
+    host, _ = rcm_if_beneficial(host)
+    print(f"# rcm-if-beneficial ({_t.time()-t0:.1f}s)", file=sys.stderr,
+          flush=True)
 
     spec = rl.device_spec()
     dtype = jnp.float32

@@ -79,3 +79,30 @@ def sigma_sort_rows(csr: HostCSR, sigma: int) -> np.ndarray:
         local = np.argsort(-lengths[w0:w1], kind="stable")
         perm[w0:w1] = w0 + local
     return perm
+
+
+def _mean_row_bandwidth(csr: HostCSR) -> float:
+    """Mean per-row column span (the locality metric RCM optimizes)."""
+    lens = csr.row_lengths()
+    ne = lens > 0
+    if not ne.any():
+        return 0.0
+    ja = csr.ja
+    hi = np.maximum.reduceat(ja, csr.ia[:-1][ne])
+    lo = np.minimum.reduceat(ja, csr.ia[:-1][ne])
+    return float((hi - lo).mean())
+
+
+def rcm_if_beneficial(csr: HostCSR) -> tuple[HostCSR, np.ndarray]:
+    """RCM, kept only when it reduces mean row bandwidth.
+
+    The reference gates RCM behind USE_RCM_REORDERING (bench.cpp:592) and
+    leaves it off by default; generator matrices with low-bandwidth
+    placement are *already* banded, and RCM on them scrambles the banding
+    (measured: mac_econ twin median row bw 405 → 1082, p90 → 135k), which
+    starves the window-locality kernels (SELLW)."""
+    bw0 = _mean_row_bandwidth(csr)
+    reordered, perm = rcm_reorder(csr)
+    if _mean_row_bandwidth(reordered) < bw0:
+        return reordered, perm
+    return csr, np.arange(csr.m, dtype=np.int64)

@@ -1,50 +1,61 @@
-"""SELLW: window-SELL SpMV — one fused Pallas kernel at ~8 B/slot HBM traffic.
+"""SELLW: sublane-bound SpMV — one fused Pallas kernel, gather = ONE lane-pick.
 
 The TPU-native answer to the reference's SELL-C-σ / window-locality formats
 (``benchmark_code/BENCH/src/spmv_kernels/sell_sorted.cpp``,
 ``spv8.cpp:243-299`` x-gather role) for matrices with column locality
-(post-RCM banded, generated diagonal-placement, FEM meshes).
+(banded, generated diagonal/low-bandwidth placement, FEM meshes).
 
-Layout
-------
-The matrix is cut into **chunks** of 8×128 = 1024 slots. Each chunk serves one
-*y block* of 128 consecutive rows and carries one *x window* of 8 consecutive
-``x2d`` rows (1024 consecutive x entries, start ``w0``). Rows are packed as
-contiguous *segments* (≤128 nnz) into the chunk's 8 sublanes (greedy
-fill-balanced); a row may hold at most one segment per sublane (up to 8 per
-chunk) and spill into further chunks of the same block (other windows), so no
-nnz is ever unrepresentable: out-of-window and overflow entries simply form
-secondary chunks, and ``y = Σ_k out[yidx[k]]`` row-gathers sum the per-chunk
-partials.
+Layout (v2 — per-sublane x2d rows)
+----------------------------------
+The matrix is cut into **chunks** of 8×128 = 1024 slots. Each chunk serves
+one *y block* of 128 consecutive rows; **each sublane s of a chunk is bound
+to one arbitrary ``x2d`` row** ``wrow[c·8+s]`` (x reshaped (n/128, 128)):
+every nnz with column ``c`` is placed in a sublane bound to ``c // 128``.
+The per-slot x-gather therefore needs NO cross-sublane routing — it is a
+single ``take_along_axis`` lane-pick. (v1 resolved arbitrary (sublane,
+lane) picks inside an 8-row window with a conflict-free rot-select over all
+8 groupwise rotations — ~36 full-array passes; binding sublanes at *build*
+time deletes all of them, and hot x2d rows simply get several sublanes.)
 
-Kernel (per chunk, all batched over the grid step's chunks)
-----------------------------------------------------------
-1. window: ``wins = x2d[w0 : w0+8]`` (dynamic sublane slice from the
-   VMEM-resident x plane — no HBM gather at all);
-2. **conflict-free two-stage gather**: for each of the 8 groupwise vertical
-   rotations r of ``wins``, one per-slot lane-pick, then a per-slot select by
-   ``rot = (win_row − sublane) mod 8``. Because the lane-pick is applied to
-   *every* rotation before selecting, both indices are consumed per-slot —
-   unlike composing sublane-pick∘lane-pick, whose first index is keyed by
-   (sublane, source lane) and conflicts (the constraint that shaped the CLOSG
-   y-extraction). Duplication is free, the builder needs no conflict
-   resolution, and there are no spills by construction.
-3. multiply by the value plane; 7-stage segmented lane scan (per-slot guard
-   bits; segments never cross the 128-lane rows);
-4. extraction: per-slot lane-pick of each segment's end total (``eidx`` keyed
-   by (sublane, row-within-block) — one segment per (row, sublane), so no
-   conflicts), masked sum over the 8 sublanes → one (1,128) y-partial row.
+Rows are packed as contiguous *parts*: a row's nnz on one x2d row form one
+part (CSR keeps them consecutive), placed whole into some sublane of that
+x2d row's allocation; one row may own parts in several sublanes (one per
+x2d row it touches) plus spill chunks of the same block, so no nnz is ever
+unrepresentable. ``y = Σ_k out[yidx[k]]`` row-gathers sum the per-chunk
+partial y rows.
+
+**Block pairing:** a chunk actually serves a pair of adjacent y blocks
+(``bid`` bit selects which; two output planes, one per pair member). For
+banded matrices adjacent blocks touch mostly the same x2d rows, so merging
+their bins nearly halves the per-bin sublane slack — the dominant waste
+(bins of ~80 nnz against 128-slot sublanes). Lane conflicts (rows of both
+blocks with equal ``row mod 128`` ending in one sublane) are resolved at
+build by first-fit over the bin's open sublanes.
+
+Kernel (per grid step, all chunks batched)
+------------------------------------------
+1. sublane fill: ``wins[8j+s] = x2d[wrow[8j+s]]`` ((1,128) dynamic slices
+   from the VMEM-resident x plane — no HBM gather);
+2. gather: ``acc = take_along_axis(wins, lane, axis=1)`` — one op;
+3. multiply by the value plane; ``stages``-stage segmented lane scan
+   (per-slot guard bits; parts never cross the 128-lane rows, and stages =
+   ceil(log2(max part length)) is *adaptive* — banded matrices with short
+   rows pay 3 stages, not 7);
+4. extraction: per-slot lane-pick of each part's end total (``eidx`` keyed
+   by (sublane, row-within-block)), masked sum over the 8 sublanes → one
+   (1,128) y-partial row per chunk.
 
 HBM traffic: one int32 word + one fp32 value per slot (8 B), plus x and the
 tiny per-chunk outputs — ~4× less than the CLOSG pipeline's ~14 B/slot over
-9 passes, with zero intermediate round-trips.
+9 passes, with zero intermediate round-trips; and unlike CLOSG the whole
+pipeline is one kernel.
 
 Word bit layout (int32, per slot (s, l) of a chunk):
-  [0,7)   lane pick  b      = col mod 128
-  [7,10)  rot               = (col//128 − w0 − s) mod 8
-  [10,17) scan guard bits   (stage k at bit 10+k)
-  [17,24) eidx              end lane of row l's segment in sublane s
-  [24]    emask             (s, l) holds a live segment end
+  [0,7)    lane pick  b     = col mod 128
+  [7,14)   scan guard bits  (stage k at bit 7+k)
+  [14,21)  eidx             end lane of the part of row l in sublane s
+  [21]     emask            (s, l) holds a live part end
+  [22]     bid              pair member the part's row belongs to
 """
 
 from __future__ import annotations
@@ -65,7 +76,7 @@ from .clos import _register
 from .clos_route import LANES, SUB
 
 CHUNK_PAD = 64          # chunks are padded to a multiple of this at build
-_SCAN_STAGES = 7        # segments ≤ 128 lanes
+_MAX_STAGES = 7         # parts ≤ 128 lanes
 _X_VMEM_LIMIT = 1 << 20  # max n for the VMEM-resident x plane (4 MB fp32)
 
 
@@ -73,21 +84,22 @@ class SellWBuildError(ValueError):
     pass
 
 
-@partial(_register, data_fields=("word", "vals", "w0", "yidx"),
+@partial(_register, data_fields=("word", "vals", "wrow", "yidx"),
          meta_fields=("shape", "nnz", "nnz_expanded", "nchunks", "x_rows",
-                      "K"))
+                      "K", "stages"))
 @dataclasses.dataclass(frozen=True)
 class SellW:
     word: jnp.ndarray   # (8·nchunks_pad, 128) int32 packed per-slot word
     vals: jnp.ndarray   # (8·nchunks_pad, 128) values (0 in padding)
-    w0: jnp.ndarray     # (nchunks_pad,) int32 window start (x2d row)
-    yidx: jnp.ndarray   # (K, nblocks) int32 chunk id per y block (nchunks=0-row)
+    wrow: jnp.ndarray   # (8·nchunks_pad,) int32 per-sublane x2d row
+    yidx: jnp.ndarray   # (K, nblocks) int32 chunk id per y block (nchunks=0)
     shape: Tuple[int, int]
     nnz: int
     nnz_expanded: int
-    nchunks: int        # live chunks (≤ w0.shape[0])
-    x_rows: int         # x2d rows (≥ 8)
+    nchunks: int        # live chunks (≤ wrow.shape[0] // 8)
+    x_rows: int         # x2d rows (≥ 1)
     K: int              # max chunks per y block
+    stages: int         # segmented-scan stages = ceil(log2(max part len))
 
     format_name = "SELLW"
 
@@ -100,26 +112,26 @@ class SellW:
         return self.shape[1]
 
     def mem_footprint_bytes(self) -> int:
-        return int(self.word.size * 4 + self.vals.size * self.vals.dtype.itemsize
-                   + self.w0.size * 4 + self.yidx.size * 4)
+        return int(self.word.size * 4
+                   + self.vals.size * self.vals.dtype.itemsize
+                   + self.wrow.size * 4 + self.yidx.size * 4)
 
 
 def _guard_bits(k: int) -> np.ndarray:
     d = np.arange(k, dtype=np.uint32)
     g = np.zeros(k, np.uint32)
-    for kk in range(_SCAN_STAGES):
+    for kk in range(_MAX_STAGES):
         g |= ((d >= (1 << kk)).astype(np.uint32) << kk)
     return g
 
 
 def build_sellw(csr: HostCSR, dtype=jnp.float32,
-                max_chunk_factor: float = 8.0,
-                min_coverage: float = 0.25) -> SellW:
+                max_chunk_factor: float = 4.0) -> SellW:
     """Compile host CSR into a SELLW program.
 
     Raises :class:`SellWBuildError` when the matrix is a poor fit: x too
-    large for VMEM residency, or column structure so scattered that the
-    chunk count (≈ traffic blow-up) exceeds ``max_chunk_factor`` × ideal.
+    large for VMEM residency, or columns so scattered that the slot count
+    (≈ traffic blow-up) would exceed ``max_chunk_factor`` × nnz.
     """
     dt = np.dtype(dtype)
     m, n, nnz = csr.m, csr.n, csr.nnz
@@ -127,138 +139,140 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
         raise SellWBuildError(f"n={n} exceeds the VMEM-resident x limit")
     if m == 0 or nnz == 0:
         raise SellWBuildError("empty matrix")
-    x_rows = max((n + LANES - 1) // LANES, SUB)
+    x_rows = max((n + LANES - 1) // LANES, 1)
     nblocks = (m + LANES - 1) // LANES
     ia = csr.ia.astype(np.int64)
     ja = csr.ja.astype(np.int64)
 
-    # fast suitability precheck: best-8-window coverage per y block must be
-    # healthy on average, else the multi-pass builder degenerates into
-    # thousands of nearly-empty chunks (e.g. placement=random matrices,
-    # where no 1024-wide x window captures a useful nnz fraction)
-    cov_num = cov_den = 0
-    for b in range(0, nblocks, max(nblocks // 64, 1)):
-        e0, e1 = int(ia[b * LANES]), int(ia[min((b + 1) * LANES, m)])
+    # fast suitability precheck, sampled: chunks per block PAIR ≈
+    # max(ceil(#distinct-x2d-rows / 8), ceil(nnz / 1024)) — scattered
+    # matrices (1-2 nnz per x2d row) degenerate to ~128 slots/nnz
+    est_slots = est_nnz = 0
+    npairs_pre = (nblocks + 1) // 2
+    for b in range(0, npairs_pre, max(npairs_pre // 64, 1)):
+        e0 = int(ia[b * 2 * LANES])
+        e1 = int(ia[min((b + 1) * 2 * LANES, m)])
         if e0 == e1:
             continue
-        blk = ja[e0:e1] // LANES
-        lo = int(blk.min())
-        h = np.bincount(blk - lo)
-        c = np.cumsum(np.concatenate([[0], h]))
-        best = (c[SUB:] - c[:-SUB]).max() if h.size > SUB else e1 - e0
-        cov_num += int(best)
-        cov_den += e1 - e0
-    if cov_den and cov_num < min_coverage * cov_den:
+        nb = np.unique(ja[e0:e1] // LANES).size
+        nch = max((nb + SUB - 1) // SUB,
+                  (e1 - e0 + SUB * LANES - 1) // (SUB * LANES))
+        est_slots += nch * SUB * LANES
+        est_nnz += e1 - e0
+    if est_nnz and est_slots > max_chunk_factor * 1.5 * est_nnz:
         raise SellWBuildError(
-            f"window coverage {cov_num / cov_den:.2f} < {min_coverage} "
+            f"estimated {est_slots / est_nnz:.1f} slots/nnz "
             "(no column locality — not a SELLW matrix)")
 
     chunk_cap = max(int(max_chunk_factor * (nnz / (SUB * LANES) + nblocks)
                         + 64), 64)
-    w0_l, word_l, vals_l, chunk_block = [], [], [], []
+    wrow_l, word_l, vals_l = [], [], []
+    chunk_pair, chunk_bids = [], []
     gb_cache = {k: _guard_bits(k) for k in range(1, LANES + 1)}
+    max_part = 1
+    npairs = (nblocks + 1) // 2
 
-    for b in range(nblocks):
-        r0, r1 = b * LANES, min((b + 1) * LANES, m)
+    for pb in range(npairs):
+        r0, r1 = pb * 2 * LANES, min((pb + 1) * 2 * LANES, m)
         e0, e1 = int(ia[r0]), int(ia[r1])
         if e0 == e1:
             continue
         cols_b = ja[e0:e1]
         vals_b = csr.a[e0:e1].astype(dt)
         lens = ia[r0 + 1:r1 + 1] - ia[r0:r1]
-        rowl_b = np.repeat(np.arange(r1 - r0), lens)
-        unplaced = np.arange(e1 - e0)
-        while unplaced.size:
-            blk = cols_b[unplaced] // LANES
-            lo, hi = int(blk.min()), int(blk.max())
-            if hi - lo + 1 <= SUB:
-                W0 = min(lo, x_rows - SUB)
-            else:
-                h = np.bincount(blk - lo, minlength=hi - lo + 1)
-                c = np.cumsum(np.concatenate([[0], h]))
-                W0 = lo + int(np.argmax(c[SUB:] - c[:-SUB]))
-                W0 = min(W0, x_rows - SUB)
-            inw = (blk >= W0) & (blk < W0 + SUB)
-            ids = unplaced[inw]
-            # --- greedy segment packing into 8 sublanes -------------------
-            rl = rowl_b[ids]
-            starts = np.flatnonzero(np.diff(rl, prepend=-1))
-            ends = np.append(starts[1:], ids.size)
-            sl_len = [0] * SUB
-            sl_segs = [[] for _ in range(SUB)]   # (row_l, p, q) into ids
-            placed = np.zeros(ids.size, bool)
-            for t in range(starts.size):
-                p, q, l = int(starts[t]), int(ends[t]), int(rl[starts[t]])
-                used = 0
-                while p < q and used != (1 << SUB) - 1:
-                    best, bestfree = -1, 0
-                    for s in range(SUB):
-                        if used >> s & 1:
-                            continue
-                        fr = LANES - sl_len[s]
-                        if fr > bestfree:
-                            best, bestfree = s, fr
-                    if bestfree == 0:
-                        break
-                    take = min(q - p, bestfree)
-                    sl_segs[best].append((l, p, p + take))
-                    placed[p:p + take] = True
-                    sl_len[best] += take
-                    used |= 1 << best
-                    p += take
-            # --- emit ------------------------------------------------------
+        rowl_b = np.repeat(np.arange(r1 - r0), lens)   # 0..255 within pair
+        blk_b = cols_b // LANES
+        # parts = maximal runs of equal (row, x2d row); CSR keeps a row's
+        # nnz on one x2d row consecutive. Order parts by (x2d row, length
+        # desc) so each bin's sublanes fill first-fit with its big parts
+        # first (less end-of-sublane slack).
+        pstart = np.flatnonzero(np.r_[True, (np.diff(rowl_b) != 0)
+                                      | (np.diff(blk_b) != 0)])
+        pend = np.append(pstart[1:], cols_b.size)
+        plen = pend - pstart
+        porder = np.lexsort((-plen, blk_b[pstart]))
+        queue = list(porder)
+        while queue:
             wd = np.zeros((SUB, LANES), np.uint32)
-            ex = np.zeros((SUB, LANES), np.uint32)  # eidx/emask plane (ORed in
-            vv = np.zeros((SUB, LANES), dt)         # last: lanes overlap slots)
-            for s in range(SUB):
-                pos = 0
-                for (l, p, q) in sl_segs[s]:
-                    k = q - p
-                    sel = ids[p:q]
-                    cc = cols_b[sel]
-                    bq = (cc % LANES).astype(np.uint32)
-                    rot = ((cc // LANES - W0 - s) % SUB).astype(np.uint32)
-                    wd[s, pos:pos + k] = bq | (rot << 7) | (gb_cache[k] << 10)
-                    vv[s, pos:pos + k] = vals_b[sel]
-                    ex[s, l] = np.uint32(((pos + k - 1) << 17) | (1 << 24))
-                    pos += k
+            ex = np.zeros((SUB, LANES), np.uint32)  # eidx/emask (ORed last:
+            vv = np.zeros((SUB, LANES), dt)         # lanes overlap slots)
+            wr = np.zeros(SUB, np.int32)
+            pos = [0] * SUB
+            sub_of = {}         # x2d row -> open sublanes (in open order)
+            next_s = 0
+            bids = [False, False]
+            defer = []
+            for t in queue:
+                p, q, k = int(pstart[t]), int(pend[t]), int(plen[t])
+                r = int(blk_b[p])
+                l = int(rowl_b[p])
+                lane, bid = l & (LANES - 1), l >> 7
+                s = -1
+                for so in sub_of.get(r, ()):   # first fit, lane-conflict-free
+                    if pos[so] + k <= LANES and not ex[so, lane]:
+                        s = so
+                        break
+                if s < 0:
+                    if next_s >= SUB:
+                        defer.append(t)
+                        continue
+                    s, next_s = next_s, next_s + 1
+                    sub_of.setdefault(r, []).append(s)
+                    wr[s] = r
+                wd[s, pos[s]:pos[s] + k] = (
+                    (cols_b[p:q] % LANES).astype(np.uint32)
+                    | (gb_cache[k] << 7))
+                vv[s, pos[s]:pos[s] + k] = vals_b[p:q]
+                ex[s, lane] = np.uint32(((pos[s] + k - 1) << 14)
+                                        | (1 << 21) | (bid << 22))
+                pos[s] += k
+                bids[bid] = True
+                max_part = max(max_part, k)
             wd |= ex
-            w0_l.append(W0)
+            wrow_l.append(wr)
             word_l.append(wd)
             vals_l.append(vv)
-            chunk_block.append(b)
-            unplaced = np.sort(np.concatenate(
-                [unplaced[~inw], ids[~placed]]))
-            if len(w0_l) > chunk_cap:
+            chunk_pair.append(pb)
+            chunk_bids.append(tuple(bids))
+            queue = defer
+            if len(wrow_l) > chunk_cap:
                 raise SellWBuildError(
                     f"chunk count exceeded {chunk_cap} (scattered columns)")
 
-    nchunks = len(w0_l)
+    nchunks = len(wrow_l)
     npad = ((nchunks + CHUNK_PAD - 1) // CHUNK_PAD) * CHUNK_PAD
     word = np.zeros((npad * SUB, LANES), np.uint32)
     vals = np.zeros((npad * SUB, LANES), dt)
+    wrow = np.zeros(npad * SUB, np.int32)
     if nchunks:
         word[: nchunks * SUB] = np.concatenate(word_l, axis=0)
         vals[: nchunks * SUB] = np.concatenate(vals_l, axis=0)
-    w0 = np.zeros(npad, np.int32)
-    w0[:nchunks] = np.asarray(w0_l, np.int32)
-    counts = np.bincount(np.asarray(chunk_block, np.int64),
-                         minlength=nblocks) if nchunks else np.zeros(
-                             nblocks, np.int64)
-    K = max(int(counts.max()) if nblocks else 1, 1)
+        wrow[: nchunks * SUB] = np.concatenate(wrow_l)
+    # output rows: pair-even partials live at [0, npad), pair-odd at
+    # [npad, 2·npad), the all-zero row at 2·npad
+    slot = np.zeros(nblocks, np.int64)
+    entries = []
+    for c, (pb, bids) in enumerate(zip(chunk_pair, chunk_bids)):
+        for bid in (0, 1):
+            b = 2 * pb + bid
+            if bids[bid] and b < nblocks:
+                entries.append((b, c + bid * npad))
+                slot[b] += 1
+    K = max(int(slot.max()) if nblocks else 1, 1)
     if K > 64:
         raise SellWBuildError(f"y-block multiplicity {K} > 64")
-    yidx = np.full((K, nblocks), npad, np.int32)   # npad = zero row
-    slot = np.zeros(nblocks, np.int64)
-    for c, b in enumerate(chunk_block):
-        yidx[slot[b], b] = c
+    yidx = np.full((K, nblocks), 2 * npad, np.int32)   # 2·npad = zero row
+    slot[:] = 0
+    for b, row in entries:
+        yidx[slot[b], b] = row
         slot[b] += 1
 
     return SellW(word=jnp.asarray(word.view(np.int32)),
-                 vals=jnp.asarray(vals), w0=jnp.asarray(w0),
+                 vals=jnp.asarray(vals), wrow=jnp.asarray(wrow),
                  yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
                  nnz_expanded=csr.nnz_expanded, nchunks=nchunks,
-                 x_rows=x_rows, K=K)
+                 x_rows=x_rows, K=K,
+                 stages=int(max_part - 1).bit_length())
 
 
 # ---------------------------------------------------------------- execution
@@ -269,75 +283,67 @@ def _x_plane(A: SellW, x, dtype):
                        A.x_rows, LANES)
 
 
-def _combine_y(A: SellW, out):
+def _combine_y(A: SellW, oa, ob):
     outp = jnp.concatenate(
-        [out, jnp.zeros((1, LANES), out.dtype)], axis=0)
+        [oa, ob, jnp.zeros((1, LANES), oa.dtype)], axis=0)
     y2 = outp.at[A.yidx].get(mode="promise_in_bounds").sum(axis=0)
     return y2.reshape(-1)[: A.m]
 
 
 @register_spmv("SELLW", "xla")
 def spmv_sellw_xla(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
-    nch = A.w0.shape[0]
+    nch = A.wrow.shape[0] // SUB
     x2d = _x_plane(A, x, A.vals.dtype)
-    rows = A.w0[:, None] + jnp.arange(SUB, dtype=A.w0.dtype)[None, :]
-    wins3 = x2d.at[rows].get(mode="promise_in_bounds")     # (nch, 8, 128)
-    w = A.word.reshape(nch, SUB, LANES)
-    s_loc = jnp.arange(SUB, dtype=jnp.int32)[None, :, None]
-    wsel = (((w >> 7) & 0x7) + s_loc) % SUB
-    cidx = jnp.broadcast_to(
-        jnp.arange(nch, dtype=jnp.int32)[:, None, None], w.shape)
-    g = wins3[cidx, wsel, w & 0x7F]
-    v = g * A.vals.reshape(nch, SUB, LANES)
-    for k in range(_SCAN_STAGES):
-        guard = ((w >> (10 + k)) & 1) != 0
-        v = v + jnp.where(guard, jnp.roll(v, 1 << k, axis=2), 0.0)
-    E = jnp.take_along_axis(v, (w >> 17) & 0x7F, axis=2)
-    z = jnp.where(((w >> 24) & 1) != 0, E, 0.0)
-    return _combine_y(A, z.sum(axis=1))
+    wins = x2d.at[A.wrow].get(mode="promise_in_bounds")    # (nch·8, 128)
+    w = A.word
+    v = jnp.take_along_axis(wins, w & 0x7F, axis=1) * A.vals
+    for k in range(A.stages):
+        guard = ((w >> (7 + k)) & 1) != 0
+        v = v + jnp.where(guard, jnp.roll(v, 1 << k, axis=1), 0.0)
+    E = jnp.take_along_axis(v, (w >> 14) & 0x7F, axis=1)
+    live = ((w >> 21) & 1) != 0
+    b1 = ((w >> 22) & 1) != 0
+    za = jnp.where(live & ~b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
+    zb = jnp.where(live & b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
+    return _combine_y(A, za, zb)
 
 
-def _sellw_kernel(nB, w0_ref, word_ref, val_ref, x2d_ref, o_ref, wins_ref):
+def _sellw_kernel(nB, stages, wrow_ref, word_ref, val_ref, x2d_ref,
+                  oa_ref, ob_ref, wins_ref):
     """One grid step: nB chunks, all stages batched over (8·nB, 128)."""
     i = pl.program_id(0)
 
     def fill(j, _):
-        w0 = w0_ref[i * nB + j]
-        wins_ref[pl.ds(j * SUB, SUB), :] = x2d_ref[pl.ds(w0, SUB), :]
+        wr = wrow_ref[i * nB * SUB + j]
+        wins_ref[pl.ds(j, 1), :] = x2d_ref[pl.ds(wr, 1), :]
         return 0
 
-    jax.lax.fori_loop(0, nB, fill, 0, unroll=True)
+    jax.lax.fori_loop(0, nB * SUB, fill, 0, unroll=True)
     w = word_ref[:]
-    wins = wins_ref[:]
-    R = wins.shape[0]
-    b = w & 0x7F
-    rot = (w >> 7) & 0x7
-    s_in_blk = jax.lax.broadcasted_iota(jnp.int32, wins.shape, 0) % SUB
-    acc = jnp.where(rot == 0, jnp.take_along_axis(wins, b, axis=1), 0.0)
-    for r in range(1, SUB):
-        lo = pltpu.roll(wins, (R - r) % R, 0)
-        hi = pltpu.roll(wins, (R - r + SUB) % R, 0)
-        rotv = jnp.where(s_in_blk < SUB - r, lo, hi)   # groupwise roll by +r
-        acc = jnp.where(rot == r, jnp.take_along_axis(rotv, b, axis=1), acc)
-    v = acc * val_ref[:]
-    for k in range(_SCAN_STAGES):
-        guard = ((w >> (10 + k)) & 1) != 0
+    v = jnp.take_along_axis(wins_ref[:], w & 0x7F, axis=1) * val_ref[:]
+    for k in range(stages):
+        guard = ((w >> (7 + k)) & 1) != 0
         v = v + jnp.where(guard, pltpu.roll(v, 1 << k, 1), 0.0)
-    E = jnp.take_along_axis(v, (w >> 17) & 0x7F, axis=1)
-    z = jnp.where(((w >> 24) & 1) != 0, E, 0.0)
-    o_ref[:] = jnp.sum(z.reshape(nB, SUB, LANES), axis=1)
+    E = jnp.take_along_axis(v, (w >> 14) & 0x7F, axis=1)
+    live = ((w >> 21) & 1) != 0
+    b1 = ((w >> 22) & 1) != 0
+    za = jnp.where(live & ~b1, E, 0.0)
+    zb = jnp.where(live & b1, E, 0.0)
+    oa_ref[:] = jnp.sum(za.reshape(nB, SUB, LANES), axis=1)
+    ob_ref[:] = jnp.sum(zb.reshape(nB, SUB, LANES), axis=1)
 
 
 @register_spmv("SELLW", "pallas")
 def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
-    nch = A.w0.shape[0]
+    nch = A.wrow.shape[0] // SUB
     nB = min(CHUNK_PAD, nch)
     x2d = _x_plane(A, x, A.vals.dtype)
     interpret = jax.default_backend() not in ("tpu",)
     blk = lambda i: (i, 0)  # noqa: E731
-    out = pl.pallas_call(
-        partial(_sellw_kernel, nB),
-        out_shape=jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype),
+    oa, ob = pl.pallas_call(
+        partial(_sellw_kernel, nB, A.stages),
+        out_shape=(jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype),
+                   jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype)),
         grid=(nch // nB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -346,35 +352,34 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
             pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(A.w0, A.word, A.vals, x2d)
-    return _combine_y(A, out)
+    )(A.wrow, A.word, A.vals, x2d)
+    return _combine_y(A, oa, ob)
 
 
 def execute_sellw_numpy(A: SellW, x: np.ndarray) -> np.ndarray:
     """float64 host reference of the compiled program (program semantics)."""
-    nch = int(A.w0.shape[0])
+    nch = int(A.wrow.shape[0]) // SUB
     x2d = np.zeros(A.x_rows * LANES)
     x2d[: x.shape[0]] = x
     x2d = x2d.reshape(A.x_rows, LANES)
-    w = np.asarray(A.word).view(np.uint32).reshape(nch, SUB, LANES)
-    w0 = np.asarray(A.w0)
-    wins3 = x2d[(w0[:, None] + np.arange(SUB))]
-    s_loc = np.arange(SUB)[None, :, None]
-    wsel = (((w >> 7) & 0x7).astype(np.int64) + s_loc) % SUB
-    cidx = np.broadcast_to(np.arange(nch)[:, None, None], w.shape)
-    g = wins3[cidx, wsel, (w & 0x7F).astype(np.int64)]
-    v = g * np.asarray(A.vals).astype(np.float64).reshape(nch, SUB, LANES)
-    for k in range(_SCAN_STAGES):
-        guard = ((w >> (10 + k)) & 1) != 0
-        v = v + np.where(guard, np.roll(v, 1 << k, axis=2), 0.0)
-    E = np.take_along_axis(v, ((w >> 17) & 0x7F).astype(np.int64), axis=2)
-    z = np.where(((w >> 24) & 1) != 0, E, 0.0)
-    out = z.sum(axis=1)
-    outp = np.concatenate([out, np.zeros((1, LANES))], axis=0)
+    w = np.asarray(A.word).view(np.uint32)
+    wins = x2d[np.asarray(A.wrow)]
+    v = (np.take_along_axis(wins, (w & 0x7F).astype(np.int64), axis=1)
+         * np.asarray(A.vals).astype(np.float64))
+    for k in range(A.stages):
+        guard = ((w >> (7 + k)) & 1) != 0
+        v = v + np.where(guard, np.roll(v, 1 << k, axis=1), 0.0)
+    E = np.take_along_axis(v, ((w >> 14) & 0x7F).astype(np.int64), axis=1)
+    live = ((w >> 21) & 1) != 0
+    b1 = ((w >> 22) & 1) != 0
+    za = np.where(live & ~b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
+    zb = np.where(live & b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
+    outp = np.concatenate([za, zb, np.zeros((1, LANES))], axis=0)
     y2 = outp[np.asarray(A.yidx)].sum(axis=0)
     return y2.reshape(-1)[: A.m]
