@@ -86,7 +86,7 @@ class SellWBuildError(ValueError):
 
 @partial(_register, data_fields=("word", "vals", "wrow", "yidx"),
          meta_fields=("shape", "nnz", "nnz_expanded", "nchunks", "x_rows",
-                      "K", "stages"))
+                      "K", "stages", "stream_wins"))
 @dataclasses.dataclass(frozen=True)
 class SellW:
     word: jnp.ndarray   # (8·nchunks_pad, 128) int32 packed per-slot word
@@ -100,6 +100,8 @@ class SellW:
     x_rows: int         # x2d rows (≥ 1)
     K: int              # max chunks per y block
     stages: int         # segmented-scan stages = ceil(log2(max part len))
+    stream_wins: bool = False  # n too big for VMEM x: XLA pre-gathers wins
+                               # and the kernel streams them (12 B/slot)
 
     format_name = "SELLW"
 
@@ -135,8 +137,7 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
     """
     dt = np.dtype(dtype)
     m, n, nnz = csr.m, csr.n, csr.nnz
-    if n > _X_VMEM_LIMIT:
-        raise SellWBuildError(f"n={n} exceeds the VMEM-resident x limit")
+    stream_wins = n > _X_VMEM_LIMIT
     if m == 0 or nnz == 0:
         raise SellWBuildError("empty matrix")
     x_rows = max((n + LANES - 1) // LANES, 1)
@@ -272,7 +273,8 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
                  yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
                  nnz_expanded=csr.nnz_expanded, nchunks=nchunks,
                  x_rows=x_rows, K=K,
-                 stages=int(max_part - 1).bit_length())
+                 stages=int(max_part - 1).bit_length(),
+                 stream_wins=stream_wins)
 
 
 # ---------------------------------------------------------------- execution
@@ -333,6 +335,24 @@ def _sellw_kernel(nB, stages, wrow_ref, word_ref, val_ref, x2d_ref,
     ob_ref[:] = jnp.sum(zb.reshape(nB, SUB, LANES), axis=1)
 
 
+def _sellw_stream_kernel(nB, stages, wins_ref, word_ref, val_ref,
+                         oa_ref, ob_ref):
+    """Streamed-wins variant: wins pre-gathered by XLA (n too big for a
+    VMEM-resident x plane), streamed per grid block like word/vals."""
+    w = word_ref[:]
+    v = jnp.take_along_axis(wins_ref[:], w & 0x7F, axis=1) * val_ref[:]
+    for k in range(stages):
+        guard = ((w >> (7 + k)) & 1) != 0
+        v = v + jnp.where(guard, pltpu.roll(v, 1 << k, 1), 0.0)
+    E = jnp.take_along_axis(v, (w >> 14) & 0x7F, axis=1)
+    live = ((w >> 21) & 1) != 0
+    b1 = ((w >> 22) & 1) != 0
+    za = jnp.where(live & ~b1, E, 0.0)
+    zb = jnp.where(live & b1, E, 0.0)
+    oa_ref[:] = jnp.sum(za.reshape(nB, SUB, LANES), axis=1)
+    ob_ref[:] = jnp.sum(zb.reshape(nB, SUB, LANES), axis=1)
+
+
 @register_spmv("SELLW", "pallas")
 def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
     nch = A.wrow.shape[0] // SUB
@@ -340,25 +360,33 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
     x2d = _x_plane(A, x, A.vals.dtype)
     interpret = jax.default_backend() not in ("tpu",)
     blk = lambda i: (i, 0)  # noqa: E731
-    oa, ob = pl.pallas_call(
-        partial(_sellw_kernel, nB, A.stages),
-        out_shape=(jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype),
-                   jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype)),
-        grid=(nch // nB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((nB * SUB, LANES), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nB * SUB, LANES), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM),
-                   pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(A.wrow, A.word, A.vals, x2d)
+    vspec = pl.BlockSpec((nB * SUB, LANES), blk, memory_space=pltpu.VMEM)
+    ospecs = (pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM),
+              pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM))
+    oshape = (jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype),
+              jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype))
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if A.stream_wins:
+        wins = x2d.at[A.wrow].get(mode="promise_in_bounds")
+        oa, ob = pl.pallas_call(
+            partial(_sellw_stream_kernel, nB, A.stages),
+            out_shape=oshape, grid=(nch // nB,),
+            in_specs=[vspec, vspec, vspec], out_specs=ospecs,
+            compiler_params=params, interpret=interpret,
+        )(wins, A.word, A.vals)
+    else:
+        oa, ob = pl.pallas_call(
+            partial(_sellw_kernel, nB, A.stages),
+            out_shape=oshape, grid=(nch // nB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec,
+                pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=ospecs,
+            scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
+            compiler_params=params, interpret=interpret,
+        )(A.wrow, A.word, A.vals, x2d)
     return _combine_y(A, oa, ob)
 
 

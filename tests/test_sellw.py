@@ -108,11 +108,15 @@ def test_sellw_single_entry(rng):
     _check(HostCSR.from_scipy(mat), rng)
 
 
-def test_sellw_rejects_huge_n(rng):
-    host = random_host_csr(16, 64, 0.2, rng)
-    host.n = 1 << 21  # fake a too-wide matrix
-    with pytest.raises(SellWBuildError):
-        build_sellw(host)
+def test_sellw_streamed_wins_for_huge_n(rng, monkeypatch):
+    """n past the VMEM x limit switches to the streamed-wins kernel
+    (wins pre-gathered by XLA, streamed per grid block)."""
+    import spmv_research_tpu.ops.sellw as sw
+
+    monkeypatch.setattr(sw, "_X_VMEM_LIMIT", 512)
+    host = _banded_csr(400, 1030, 30, 5, rng)   # n=1030 > patched limit
+    A = _check(host, rng)
+    assert A.stream_wins
 
 
 def test_sellw_generator_twin(rng):
