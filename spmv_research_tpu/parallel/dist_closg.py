@@ -84,3 +84,27 @@ def distributed_spmv_closg(A: ShardedClosG, x: jnp.ndarray,
         ys.append(spmv_dispatch(A.shards[j], xj, impl=impl))
     ys = [jax.device_put(y, A.devices[0]) for y in ys]
     return jnp.concatenate(ys)
+
+
+def build_sharded_best(csr: HostCSR, devices: Sequence = None,
+                       dtype=jnp.float32) -> ShardedClosG:
+    """nnz-balanced row shards, each compiled to its *best* single-chip
+    engine (SELLW where the shard has column locality, CLOSG otherwise —
+    shards of one matrix may pick different engines). The reference's
+    kernel-selection map (config.sh:458-661 ``progs``) applied per shard."""
+    from ..ops.sellw import SellWBuildError, build_sellw
+
+    devices = tuple(devices if devices is not None else jax.devices())
+    k = len(devices)
+    splits = partition_rows_nnz_balanced(csr, k)
+    shards = []
+    for j in range(k):
+        part = _rows_slice(csr, int(splits[j]), int(splits[j + 1]))
+        try:
+            A = build_sellw(part, dtype=dtype)
+        except SellWBuildError:
+            A = build_clos_gather_auto(part, dtype=dtype)
+        shards.append(jax.device_put(A, devices[j]))
+    return ShardedClosG(shards=tuple(shards), devices=devices,
+                        row_splits=splits, shape=(csr.m, csr.n),
+                        nnz=csr.nnz, nnz_expanded=csr.nnz_expanded)

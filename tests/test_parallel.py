@@ -129,3 +129,31 @@ def test_distributed_closg_8dev(rng):
     y = np.asarray(distributed_spmv_closg(A, jnp.asarray(x)))
     want = mat @ x.astype(np.float64)
     assert np.allclose(y, want, atol=1e-4)
+
+
+def test_distributed_best_mixed_engines(rng):
+    """build_sharded_best picks SELLW on banded shards (kernel-selection-map
+    role, per shard); mixed engines interoperate in one distributed SpMV."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+    from spmv_research_tpu.ops.sellw import SellW
+    from spmv_research_tpu.parallel.dist_closg import (build_sharded_best,
+                                                       distributed_spmv_closg)
+
+    # banded matrix -> every shard has column locality -> SELLW everywhere
+    m = n = 1600
+    rows = np.repeat(np.arange(m), 4)
+    cols = np.clip(rows + rng.integers(-30, 31, rows.size), 0, n - 1)
+    v = rng.uniform(-1, 1, rows.size)
+    mat = sp.coo_matrix((v, (rows, cols)), shape=(m, n)).tocsr()
+    mat.sum_duplicates(); mat.sort_indices()
+    host = HostCSR.from_scipy(mat)
+    devs = jax.devices()[:4]
+    A = build_sharded_best(host, devices=devs)
+    assert all(isinstance(s, SellW) for s in A.shards)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(distributed_spmv_closg(A, jnp.asarray(x)))
+    want = mat @ x.astype(np.float64)
+    assert np.allclose(y, want, atol=1e-4)
