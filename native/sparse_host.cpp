@@ -331,4 +331,124 @@ int32_t waksman_route(const int64_t* s_in, const int64_t* t_in,
   return n_stages;
 }
 
+// --------------------------------------------------------------- SELLW pack
+//
+// Native tier of the SELLW format compiler (ops/sellw.py build_sellw):
+// block-pair chunks, per-sublane x2d-row binding, first-fit part packing
+// with lane-conflict avoidance. Mirrors the Python packer exactly so the
+// two tiers produce identical programs (tests compare numerically).
+//
+// count_only != 0: dry run — only counts chunks and max_part (so the
+// caller can allocate exact output buffers), all output pointers may be
+// null. Returns nchunks, or -1 when cap is exceeded (count_only=0 only).
+
+static const int kSub = 8, kLanes = 128;
+
+int64_t sellw_pack(const int64_t* ia, const int32_t* ja, const float* av,
+                   int64_t m, int64_t cap, int32_t count_only,
+                   int32_t* word, float* vals, int32_t* wrow,
+                   int32_t* pair_out, uint8_t* bids_out,
+                   int32_t* max_part_out) {
+  const int64_t nblocks = (m + kLanes - 1) / kLanes;
+  const int64_t npairs = (nblocks + 1) / 2;
+  int64_t nchunks = 0;
+  int32_t max_part = 1;
+  std::vector<int64_t> pstart, plen, prow, pbin, order, queue, defer;
+  for (int64_t pb = 0; pb < npairs; ++pb) {
+    const int64_t r0 = pb * 2 * kLanes;
+    const int64_t r1 = std::min(r0 + 2 * kLanes, m);
+    const int64_t e0 = ia[r0], e1 = ia[r1];
+    if (e0 == e1) continue;
+    // parts: maximal runs of equal (row, col/128) in CSR order
+    pstart.clear(); plen.clear(); prow.clear(); pbin.clear();
+    for (int64_t r = r0; r < r1; ++r) {
+      int64_t e = ia[r];
+      while (e < ia[r + 1]) {
+        const int32_t bin = ja[e] / kLanes;
+        int64_t f = e + 1;
+        while (f < ia[r + 1] && ja[f] / kLanes == bin) ++f;
+        pstart.push_back(e);
+        plen.push_back(f - e);
+        prow.push_back(r - r0);
+        pbin.push_back(bin);
+        if (f - e > max_part) max_part = (int32_t)(f - e);
+        e = f;
+      }
+    }
+    order.resize(pstart.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = (int64_t)i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                       if (pbin[a] != pbin[b]) return pbin[a] < pbin[b];
+                       return plen[a] > plen[b];
+                     });
+    queue = order;
+    while (!queue.empty()) {
+      if (!count_only && nchunks >= cap) return -1;
+      int32_t* wd = count_only ? nullptr
+                               : word + nchunks * kSub * kLanes;
+      float* vv = count_only ? nullptr : vals + nchunks * kSub * kLanes;
+      uint32_t ex[kSub][kLanes];
+      memset(ex, 0, sizeof(ex));
+      if (!count_only) {
+        memset(wd, 0, sizeof(int32_t) * kSub * kLanes);
+        memset(vv, 0, sizeof(float) * kSub * kLanes);
+      }
+      int pos[kSub] = {0};
+      int32_t wr[kSub] = {0};
+      int64_t cur_bin = -1;
+      int open_s[kSub];               // open sublanes for cur_bin
+      int n_open = 0;
+      int next_s = 0;
+      uint8_t bids = 0;
+      defer.clear();
+      for (int64_t t : queue) {
+        const int64_t p = pstart[t];
+        const int k = (int)plen[t];
+        const int64_t bin = pbin[t];
+        const int l = (int)prow[t];
+        const int lane = l & (kLanes - 1), bid = l >> 7;
+        if (bin != cur_bin) { cur_bin = bin; n_open = 0; }
+        int s = -1;
+        for (int oi = 0; oi < n_open; ++oi) {  // first fit, conflict-free
+          const int so = open_s[oi];
+          if (pos[so] + k <= kLanes && !ex[so][lane]) { s = so; break; }
+        }
+        if (s < 0) {
+          if (next_s >= kSub) { defer.push_back(t); continue; }
+          s = next_s++;
+          open_s[n_open++] = s;
+          wr[s] = (int32_t)bin;
+        }
+        if (!count_only) {
+          for (int d = 0; d < k; ++d) {
+            uint32_t g = 0;
+            for (int kk = 0; kk < 7; ++kk)
+              if (d >= (1 << kk)) g |= 1u << kk;
+            wd[s * kLanes + pos[s] + d] =
+                (int32_t)((uint32_t)(ja[p + d] & (kLanes - 1)) | (g << 7));
+            vv[s * kLanes + pos[s] + d] = av[p + d];
+          }
+        }
+        ex[s][lane] = ((uint32_t)(pos[s] + k - 1) << 14) | (1u << 21)
+                      | ((uint32_t)bid << 22);
+        pos[s] += k;
+        bids |= (uint8_t)(1 << bid);
+      }
+      if (!count_only) {
+        for (int s = 0; s < kSub; ++s)
+          for (int l2 = 0; l2 < kLanes; ++l2)
+            wd[s * kLanes + l2] |= (int32_t)ex[s][l2];
+        for (int s = 0; s < kSub; ++s) wrow[nchunks * kSub + s] = wr[s];
+        pair_out[nchunks] = (int32_t)pb;
+        bids_out[nchunks] = bids;
+      }
+      ++nchunks;
+      queue.swap(defer);
+    }
+  }
+  *max_part_out = max_part;
+  return nchunks;
+}
+
 }  // extern "C"

@@ -22,6 +22,7 @@ _c_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _c_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _c_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _c_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_c_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
 def _find_lib() -> Optional[str]:
@@ -69,6 +70,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.waksman_route.argtypes = [
         _c_i64p, _c_i64p, _c_u8p, ctypes.c_int64, ctypes.c_int32,
         _c_u32p, _c_u32p, _c_i32p]
+
+    lib.sellw_pack.restype = ctypes.c_int64
+    lib.sellw_pack.argtypes = [
+        _c_i64p, _c_i32p, _c_f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, _c_i32p]
 
     _LIB = lib
     return _LIB
@@ -144,3 +151,31 @@ def waksman_route_native(s_full, t_full, real, N, L):
     return (np.zeros((0, N), np.uint32),
             B.reshape(n_words, N)[:used_words],
             [int(k) for k in ks[:n]])
+
+
+def sellw_pack_native(ia, ja, a_f32, m):
+    """Two-pass native SELLW packer: count, allocate exact, pack.
+
+    Returns (word (nchunks·8,128) int32, vals likewise float32,
+    wrow (nchunks·8,), pair (nchunks,), bids (nchunks,) uint8, max_part)."""
+    lib = get_lib()
+    ia = np.ascontiguousarray(ia, np.int64)
+    ja = np.ascontiguousarray(ja, np.int32)
+    a_f32 = np.ascontiguousarray(a_f32, np.float32)
+    mp = np.zeros(1, np.int32)
+    n = lib.sellw_pack(ia, ja, a_f32, m, 0, 1, None, None, None, None,
+                       None, mp)
+    word = np.zeros((max(int(n), 1) * 8, 128), np.int32)
+    vals = np.zeros((max(int(n), 1) * 8, 128), np.float32)
+    wrow = np.zeros(max(int(n), 1) * 8, np.int32)
+    pair = np.zeros(max(int(n), 1), np.int32)
+    bids = np.zeros(max(int(n), 1), np.uint8)
+    n2 = lib.sellw_pack(ia, ja, a_f32, m, int(n), 0,
+                        word.ctypes.data_as(ctypes.c_void_p),
+                        vals.ctypes.data_as(ctypes.c_void_p),
+                        wrow.ctypes.data_as(ctypes.c_void_p),
+                        pair.ctypes.data_as(ctypes.c_void_p),
+                        bids.ctypes.data_as(ctypes.c_void_p), mp)
+    assert n2 == n, (n2, n)
+    return (word[: int(n) * 8], vals[: int(n) * 8], wrow[: int(n) * 8],
+            pair[: int(n)], bids[: int(n)], int(mp[0]))

@@ -167,6 +167,24 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
 
     chunk_cap = max(int(max_chunk_factor * (nnz / (SUB * LANES) + nblocks)
                         + 64), 64)
+
+    # native packer tier (native/sparse_host.cpp sellw_pack — identical
+    # algorithm, ~50x the Python loop; conversion time is a reported metric)
+    from ..io import native as _native
+    if _native.have_native() and dt == np.float32:
+        word_n, vals_n, wrow_n, pair_n, bids_n, max_part = (
+            _native.sellw_pack_native(ia, csr.ja, csr.a.astype(np.float32),
+                                      m))
+        if pair_n.shape[0] > chunk_cap:
+            raise SellWBuildError(
+                f"chunk count {pair_n.shape[0]} exceeded {chunk_cap} "
+                "(scattered columns)")
+        return _emit_sellw(word_n.view(np.uint32), vals_n, wrow_n,
+                           list(pair_n), [(bool(b & 1), bool(b & 2))
+                                          for b in bids_n],
+                           max_part, m, n, nnz, csr.nnz_expanded, x_rows,
+                           nblocks, dt, stream_wins)
+
     wrow_l, word_l, vals_l = [], [], []
     chunk_pair, chunk_bids = [], []
     gb_cache = {k: _guard_bits(k) for k in range(1, LANES + 1)}
@@ -240,18 +258,34 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
                 raise SellWBuildError(
                     f"chunk count exceeded {chunk_cap} (scattered columns)")
 
-    nchunks = len(wrow_l)
+    word_u = (np.concatenate(word_l, axis=0) if wrow_l
+              else np.zeros((0, LANES), np.uint32))
+    vals_u = (np.concatenate(vals_l, axis=0) if wrow_l
+              else np.zeros((0, LANES), dt))
+    wrow_u = (np.concatenate(wrow_l) if wrow_l
+              else np.zeros(0, np.int32))
+    return _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids,
+                       max_part, m, n, nnz, csr.nnz_expanded, x_rows,
+                       nblocks, dt, stream_wins)
+
+
+def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
+                m, n, nnz, nnz_expanded, x_rows, nblocks, dt,
+                stream_wins) -> SellW:
+    """Pad the packed chunks, build yidx, assemble the pytree (shared tail
+    of the native and Python packer tiers)."""
+    nchunks = len(chunk_pair)
     npad = ((nchunks + CHUNK_PAD - 1) // CHUNK_PAD) * CHUNK_PAD
     word = np.zeros((npad * SUB, LANES), np.uint32)
     vals = np.zeros((npad * SUB, LANES), dt)
     wrow = np.zeros(npad * SUB, np.int32)
     if nchunks:
-        word[: nchunks * SUB] = np.concatenate(word_l, axis=0)
-        vals[: nchunks * SUB] = np.concatenate(vals_l, axis=0)
-        wrow[: nchunks * SUB] = np.concatenate(wrow_l)
+        word[: nchunks * SUB] = word_u
+        vals[: nchunks * SUB] = vals_u
+        wrow[: nchunks * SUB] = wrow_u
     # output rows: pair-even partials live at [0, npad), pair-odd at
     # [npad, 2·npad), the all-zero row at 2·npad
-    slot = np.zeros(nblocks, np.int64)
+    slot = np.zeros(max(nblocks, 1), np.int64)
     entries = []
     for c, (pb, bids) in enumerate(zip(chunk_pair, chunk_bids)):
         for bid in (0, 1):
@@ -271,7 +305,7 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
     return SellW(word=jnp.asarray(word.view(np.int32)),
                  vals=jnp.asarray(vals), wrow=jnp.asarray(wrow),
                  yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
-                 nnz_expanded=csr.nnz_expanded, nchunks=nchunks,
+                 nnz_expanded=nnz_expanded, nchunks=nchunks,
                  x_rows=x_rows, K=K,
                  stages=int(max_part - 1).bit_length(),
                  stream_wins=stream_wins)

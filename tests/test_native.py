@@ -97,3 +97,45 @@ def test_rcm_native_valid_permutation(rng):
     h = random_host_csr(100, 100, 0.05, rng)
     perm = rcm_native(h.ia, h.ja, h.m)
     assert sorted(perm) == list(range(100))
+
+
+def test_native_sellw_pack_matches_python(rng):
+    """The native SELLW packer mirrors the Python tier bit-exactly."""
+    import numpy as np
+    from conftest import random_host_csr
+    from spmv_research_tpu.io import native
+    import spmv_research_tpu.ops.sellw as sw
+
+    if not native.have_native():
+        import pytest
+        pytest.skip("native library not built")
+    # banded + scattered + empty-block shapes
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+    cases = [random_host_csr(700, 600, 0.02, rng),
+             random_host_csr(150, 1030, 0.03, rng)]
+    m = 500
+    rows = np.repeat(np.arange(200, 260), 4)
+    cols = np.clip(rows * 2 + rng.integers(-20, 21, rows.size), 0, 999)
+    v = rng.uniform(-1, 1, rows.size)
+    mat = sp.coo_matrix((v, (rows, cols)), shape=(m, 1000)).tocsr()
+    mat.sum_duplicates(); mat.sort_indices()
+    cases.append(HostCSR.from_scipy(mat))
+    for host in cases:
+        A_native = sw.build_sellw(host, max_chunk_factor=1e9)
+        orig = native.have_native
+        native.have_native = lambda: False
+        try:
+            A_py = sw.build_sellw(host, max_chunk_factor=1e9)
+        finally:
+            native.have_native = orig
+        assert A_native.nchunks == A_py.nchunks
+        assert A_native.stages == A_py.stages
+        np.testing.assert_array_equal(np.asarray(A_native.word),
+                                      np.asarray(A_py.word))
+        np.testing.assert_array_equal(np.asarray(A_native.vals),
+                                      np.asarray(A_py.vals))
+        np.testing.assert_array_equal(np.asarray(A_native.wrow),
+                                      np.asarray(A_py.wrow))
+        np.testing.assert_array_equal(np.asarray(A_native.yidx),
+                                      np.asarray(A_py.yidx))
