@@ -118,8 +118,9 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
             t0 = time.time()
             try:
                 A = builder(host, dtype=dtype)
-            except (RoutingError, ValueError, MemoryError) as e:
-                print(f"# {fmt} build failed on {name}: {e}", flush=True)
+            except Exception as e:   # a builder bug must not kill the sweep
+                print(f"# {fmt} build failed on {name}: "
+                      f"{type(e).__name__}: {e}", flush=True)
                 continue
             t_convert = time.time() - t0
             print(f"# convert {name} -> {fmt}: {t_convert:.2f}s", flush=True)

@@ -43,7 +43,7 @@ SUB = 8
 LANES = 128
 
 
-class ClosRoutingError(RuntimeError):
+class ClosRoutingError(ValueError):
     pass
 
 

@@ -41,7 +41,7 @@ import numpy as np
 from ..core.host import HostCSR
 
 
-class RoutingError(RuntimeError):
+class RoutingError(ValueError):
     pass
 
 
