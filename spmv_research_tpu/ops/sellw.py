@@ -71,7 +71,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.host import HostCSR
-from .dispatch import register_spmv
+from .dispatch import register_spmv, register_spmm
 from .clos import _register
 from .clos_route import LANES, SUB
 
@@ -445,3 +445,97 @@ def execute_sellw_numpy(A: SellW, x: np.ndarray) -> np.ndarray:
     outp = np.concatenate([za, zb, np.zeros((1, LANES))], axis=0)
     y2 = outp[np.asarray(A.yidx)].sum(axis=0)
     return y2.reshape(-1)[: A.m]
+
+
+# ------------------------------------------------------------------- SpMM
+
+def _spmm_x_planes(A: SellW, X, dtype, kt):
+    """Pad X (n, K) to K' = 8·ceil(K/8) and return per-k x2d planes
+    (K', x_rows, 128)."""
+    n, K = X.shape
+    Kp = 8 * kt
+    Xp = jnp.zeros((A.x_rows * LANES, Kp), dtype)
+    Xp = Xp.at[:n, :K].set(X.astype(dtype))
+    return jnp.transpose(Xp.reshape(A.x_rows, LANES, Kp), (2, 0, 1))
+
+
+def _sellw_spmm_kernel(nB, stages, wrow_ref, word_ref, val_ref, *refs):
+    """One grid step, one k-tile of 8: per k, the SpMV pipeline re-runs on
+    the k-th x plane while word/vals stay VMEM-resident. Outputs are
+    k-major within the step's block: rows [kk·nB, (kk+1)·nB)."""
+    xrefs, (oa_ref, ob_ref, wins_ref) = refs[:8], refs[8:]
+    i = pl.program_id(0)
+    w = word_ref[:]
+    live = ((w >> 21) & 1) != 0
+    b1 = ((w >> 22) & 1) != 0
+    eidx = (w >> 14) & 0x7F
+    lane = w & 0x7F
+    for kk in range(8):
+        def fill(j, _, kk=kk):
+            wr = wrow_ref[i * nB * SUB + j]
+            wins_ref[pl.ds(j, 1), :] = xrefs[kk][pl.ds(wr, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, nB * SUB, fill, 0, unroll=True)
+        v = jnp.take_along_axis(wins_ref[:], lane, axis=1) * val_ref[:]
+        for k in range(stages):
+            guard = ((w >> (7 + k)) & 1) != 0
+            v = v + jnp.where(guard, pltpu.roll(v, 1 << k, 1), 0.0)
+        E = jnp.take_along_axis(v, eidx, axis=1)
+        za = jnp.where(live & ~b1, E, 0.0)
+        zb = jnp.where(live & b1, E, 0.0)
+        oa_ref[pl.ds(kk * nB, nB), :] = jnp.sum(
+            za.reshape(nB, SUB, LANES), axis=1)
+        ob_ref[pl.ds(kk * nB, nB), :] = jnp.sum(
+            zb.reshape(nB, SUB, LANES), axis=1)
+
+
+@register_spmm("SELLW", "pallas")
+def spmm_sellw_pallas(A: SellW, X: jnp.ndarray) -> jnp.ndarray:
+    """Y = A @ X: k-tiles of 8 over the fused SELLW pipeline (word/vals are
+    read once per tile; the reference's bench_spmm.cpp role with the K_DIM
+    sweep, config.sh:138-143)."""
+    n, K = X.shape
+    if A.stream_wins:
+        return spmm_sellw_xla(A, X)
+    nch = A.wrow.shape[0] // SUB
+    nB = min(CHUNK_PAD, nch)
+    kt = (K + 7) // 8
+    Xp = _spmm_x_planes(A, X, A.vals.dtype, kt)
+    interpret = jax.default_backend() not in ("tpu",)
+    blk = lambda i: (i, 0)  # noqa: E731
+    blk8 = lambda i: (i, 0)  # noqa: E731
+    vspec = pl.BlockSpec((nB * SUB, LANES), blk, memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((8 * nB, LANES), blk8, memory_space=pltpu.VMEM)
+    cols = []
+    for t in range(kt):
+        oa, ob = pl.pallas_call(
+            partial(_sellw_spmm_kernel, nB, A.stages),
+            out_shape=(jax.ShapeDtypeStruct((8 * nch, LANES), A.vals.dtype),
+                       jax.ShapeDtypeStruct((8 * nch, LANES), A.vals.dtype)),
+            grid=(nch // nB,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec]
+            + [xspec] * 8,
+            out_specs=(ospec, ospec),
+            scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(A.wrow, A.word, A.vals, *[Xp[8 * t + kk] for kk in range(8)])
+        # un-interleave the k-major step blocks -> (8, nch, 128)
+        oa = jnp.transpose(oa.reshape(nch // nB, 8, nB, LANES),
+                           (1, 0, 2, 3)).reshape(8, nch, LANES)
+        ob = jnp.transpose(ob.reshape(nch // nB, 8, nB, LANES),
+                           (1, 0, 2, 3)).reshape(8, nch, LANES)
+        for kk in range(8):
+            if 8 * t + kk < K:
+                cols.append(_combine_y(A, oa[kk], ob[kk]))
+    return jnp.stack(cols, axis=1)
+
+
+@register_spmm("SELLW", "xla")
+def spmm_sellw_xla(A: SellW, X: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([spmv_sellw_xla(A, X[:, k])
+                      for k in range(X.shape[1])], axis=1)

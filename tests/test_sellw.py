@@ -130,3 +130,20 @@ def test_sellw_generator_twin(rng):
     host, _ = artificial_matrix_generation(p)
     host, _ = rcm_reorder(host)
     _check(host, rng)
+
+
+def test_sellw_spmm(rng):
+    """K-tiled SpMM: pallas + xla impls vs dense gold, K not multiple of 8."""
+    import jax.numpy as jnp
+    from spmv_research_tpu.ops import spmm
+
+    host = _banded_csr(400, 500, 35, 6, rng)
+    A = build_sellw(host, max_chunk_factor=1e9)
+    for K in (5, 16):
+        X = rng.uniform(-1, 1, (host.n, K)).astype(np.float32)
+        want = host.to_scipy() @ X.astype(np.float64)
+        scale = np.maximum(np.abs(want), 1.0)
+        for impl in ("xla", "pallas"):
+            Y = np.asarray(spmm(A, jnp.asarray(X), impl=impl), np.float64)
+            np.testing.assert_allclose(Y / scale, want / scale, atol=1e-5,
+                                       err_msg=f"{impl} K={K}")
