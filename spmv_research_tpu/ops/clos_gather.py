@@ -316,8 +316,8 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         ycand_l.append(u)
         cidx[j] = inv.astype(np.uint32)
         C = max(C, len(u))
-    if C > 32:
-        raise ClosRoutingError(f"y-extraction candidate count {C} > 32 "
+    if C > 128:
+        raise ClosRoutingError(f"y-extraction candidate count {C} > 128 "
                                "(extreme row-length skew)")
     # stored candidate-major (C, m_rows) so the kernel slices contiguous
     # per-candidate blocks
@@ -326,7 +326,7 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         ycand[: len(u), j] = u
         ycand[len(u):, j] = u[-1] if len(u) else 0
     ysel = ((end_pad % LANES).astype(np.uint32).reshape(m_rows, LANES)
-            | (cidx << 7))  # bits [7,13): candidate id (C <= 32)
+            | (cidx << 7))  # bits [7,14): candidate id (C <= 128)
 
     # --- fused pallas extraction: per-group (8w,128) scan-row windows ------
     # end slots are monotone in row, so each y row (= group of 128 matrix
@@ -347,7 +347,9 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     smax = np.where(has, np.maximum(smax, smin), 0)
     w_g = (smax - smin) // SUB + 1                     # octaves per group
     W = int(w_g.max()) if m_rows_pad else 1
-    if W <= 8:
+    if W <= 64:            # cid is 9 bits [7,16); high-degree rows ride the
+        # same per-group multi-octave loop (W picks per group, paid only by
+        # the groups that need it via the class sort)
         wstart = np.minimum(smin, S - SUB * w_g).astype(np.int32)
         cidp = np.clip(src2 - wstart[:, None], 0, SUB * W - 1)
         ysel_w = ((end_pad % LANES).astype(np.uint32)
@@ -355,13 +357,13 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
         ysel_w = np.concatenate(
             [ysel_w, np.zeros((m_rows_pad - m_rows, LANES), np.uint32)])
         ysel_w |= (cidp.astype(np.uint32) << 7)
-        ysel_w |= (emp2.astype(np.uint32) << 14)
+        ysel_w |= (emp2.astype(np.uint32) << 16)
         wb = w_g.reshape(n_batches, SUB).max(axis=1)   # batch class
         border = np.argsort(wb, kind="stable").astype(np.int64)
-        counts = np.bincount(wb[border], minlength=9)  # index 1..8
+        counts = np.bincount(wb[border], minlength=65)  # index 1..64
         yext_classes = []
         base = 0
-        for c in range(1, 9):
+        for c in range(1, 65):
             if counts[c]:
                 yext_classes.append((int(c), int(base), int(counts[c]), 0))
                 base += int(counts[c])
@@ -419,14 +421,14 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
                     smin_e = np.where(hasg, smin_e, 0)
                     smax_e = np.where(hasg, np.maximum(smax_e, smin_e), 0)
                     w_e = (smax_e - smin_e) // SUB + 1
-                    if int(w_e.max()) > SUB:   # can't happen: subset of main
-                        raise ClosRoutingError("extra-pick window > 8")
+                    if int(w_e.max()) > 64:    # can't happen: subset of main
+                        raise ClosRoutingError("extra-pick window > 64")
                     ws_e = np.minimum(smin_e, S - SUB * w_e).astype(np.int32)
                     cid_e = np.clip(srcg - ws_e[:, None], 0,
-                                    SUB * SUB - 1).astype(np.uint32)
+                                    SUB * 64 - 1).astype(np.uint32)
                     sel_e = np.where(
                         lvg, (es % LANES).astype(np.uint32) | (cid_e << 7),
-                        np.uint32(1 << 14))
+                        np.uint32(1 << 16))
                     ex_ysel.append(sel_e)
                     ex_wstart.append(ws_e)
                     ex_border.append(n_syn | (b << 16))
@@ -439,9 +441,9 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
                     [wstart] + [e.astype(np.int32) for e in ex_wstart])
                 order = np.argsort(np.asarray(ex_w), kind="stable")
                 eb = np.asarray(ex_border, np.int64)[order]
-                ecnt = np.bincount(np.asarray(ex_w)[order], minlength=9)
+                ecnt = np.bincount(np.asarray(ex_w)[order], minlength=65)
                 base = border.shape[0]
-                for cc in range(1, 9):
+                for cc in range(1, 65):
                     if ecnt[cc]:
                         yext_classes.append((int(cc), int(base),
                                              int(ecnt[cc]), 1))
@@ -492,7 +494,7 @@ def _extract_y_xla(A: ClosG, v):
     cands = v.at[A.ycand].get(mode="promise_in_bounds").reshape(
         C, m_rows, LANES)
     lam = A.ysel & 0x7F
-    cid = (A.ysel >> 7) & 0x3F
+    cid = (A.ysel >> 7) & 0x7F
     y = jnp.zeros((m_rows, LANES), v.dtype)
     for c in range(C):
         pick = jnp.take_along_axis(cands[c], lam, axis=1)
@@ -625,7 +627,7 @@ def _extract_y_kernel(meta, cands_ref, ysel_ref, o_ref):
     C, m_rows = meta
     sel = ysel_ref[:]
     lam = sel & 0x7F
-    cid = (sel >> 7) & 0x3F
+    cid = (sel >> 7) & 0x7F
     y = jnp.zeros(sel.shape, o_ref.dtype)
     for c in range(C):
         block = cands_ref[c * m_rows:(c + 1) * m_rows, :]
@@ -737,7 +739,7 @@ def execute_closg_numpy(A, x: np.ndarray) -> np.ndarray:
     cands = w2[np.asarray(A.ycand)].reshape(C, m_rows, LANES)
     sel = np.asarray(A.ysel).view(np.uint32)
     lam_y = (sel & 0x7F).astype(np.int64)
-    cid = (sel >> 7) & 0x3F
+    cid = (sel >> 7) & 0x7F
     y = np.zeros((m_rows, LANES))
     for c in range(C):
         pick = np.take_along_axis(cands[c], lam_y, axis=1)

@@ -149,8 +149,8 @@ def _r3_scan_yext_kernel(meta, v_ref, p_ref, hi_ref, ysel_ref, wstart_ref,
             bd = b >> 16               # y (write) batch id
             sel = ysel_ref[pl.ds(bs * SUB, SUB), :]
             lam = sel & 0x7F
-            cid = (sel >> 7) & 0x7F
-            emptyb = ((sel >> 14) & 1) != 0
+            cid = (sel >> 7) & 0x1FF
+            emptyb = ((sel >> 16) & 1) != 0
             y8 = jnp.zeros((SUB, LANES), y_ref.dtype)
             for g in range(SUB):
                 ws = wstart_ref[bs * SUB + g]

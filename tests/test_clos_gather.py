@@ -146,3 +146,29 @@ def test_closg_scan_cap_extra_picks(rng):
     assert np.max(np.abs(y2 - want) / scale) < 1e-5
     y3 = execute_closg_numpy(A, x.astype(np.float64))
     assert np.max(np.abs(y3 - want) / scale) < 1e-6   # fp32 value plane
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_closg_high_degree(rng, impl):
+    """Dense rows (~70 nnz/row, the raefsky3-twin regime): extraction spans
+    many window octaves (W > 8, 9-bit cid) and many candidates (C > 32)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+
+    m = n = 1500
+    rows = np.repeat(np.arange(m), 70)
+    cols = rng.integers(0, n, rows.size)
+    vals = rng.uniform(-1, 1, rows.size)
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+    mat.sum_duplicates(); mat.sort_indices()
+    host = HostCSR.from_scipy(mat)
+    A = build_clos_gather(host)
+    assert A.W > 8
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x), impl=impl))
+    want = mat @ x.astype(np.float64)
+    scale = np.abs(mat) @ np.abs(x).astype(np.float64) + 1e-30
+    assert np.max(np.abs(y - want) / scale) < 1e-5
+    y64 = execute_closg_numpy(A, x.astype(np.float64))
+    assert np.max(np.abs(y64 - want) / scale) < 1e-6
