@@ -208,7 +208,9 @@ def csv_row_real(r: BenchResult, tpu_extra: bool = True) -> str:
         f"{r.time_iter_median:.9f}", f"{r.time_iter_max:.9f}",
         f"{r.gflops:.6f}", f"{r.csr_mem_footprint_mb:.6f}",
         "0", "0",  # W_avg, J_estimated: no RAPL analog via the TPU tunnel
-        r.format_name, r.m, r.n, r.nnz, f"{r.mem_footprint_mb:.6f}",
+        f"{r.format_name}_{r.impl}" if getattr(r, "impl", None)
+        else r.format_name,
+        r.m, r.n, r.nnz, f"{r.mem_footprint_mb:.6f}",
         f"{r.mem_ratio:.6f}", r.num_loops,
         *(f"{v:.6g}" for v in r.metrics.as_csv_fields()),
     ]
@@ -222,7 +224,10 @@ def csv_row_synthetic(r: BenchResult, params, feats, tpu_extra: bool = True) -> 
     """Synthetic-schema row (``bench_spmv.cpp:529-563``): generator params +
     measured features + format/time/gflops."""
     f = [
-        "synthetic", params.distribution, params.placement, params.seed,
+        # the reference prints the literal "synthetic" here; keep the twin
+        # name when the generator line carried one (12th arg)
+        r.matrix_name or "synthetic",
+        params.distribution, params.placement, params.seed,
         feats.m, feats.n, feats.nnz, f"{feats.density:.6f}",
         f"{feats.mem_footprint_mb:.6f}", feats.mem_range,
         f"{feats.nnz_per_row_avg:.6f}", f"{feats.nnz_per_row_std:.6f}",
@@ -232,7 +237,11 @@ def csv_row_synthetic(r: BenchResult, params, feats, tpu_extra: bool = True) -> 
         f"{feats.scatter_scaled_avg:.6f}", f"{feats.scatter_scaled_std:.6f}",
         f"{feats.skew:.6f}", f"{feats.num_neighbours_avg:.6f}",
         f"{feats.cross_row_similarity_avg:.6f}",
-        r.format_name, f"{r.time_total:.6f}", f"{r.gflops:.6f}", "0", "0",
+        # impl suffixed the reference way (format_name strings like
+        # "Custom_CSR_BV_x86" encode the kernel variant)
+        f"{r.format_name}_{r.impl}" if getattr(r, "impl", None)
+        else r.format_name,
+        f"{r.time_total:.6f}", f"{r.gflops:.6f}", "0", "0",
     ]
     row = ",".join(str(v) for v in f)
     if tpu_extra:
