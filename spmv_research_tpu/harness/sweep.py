@@ -169,6 +169,12 @@ def _run_one(host, A, workload, impl, cfg, name, t_convert):
         return bench_spmm(host, A, config=cfg, impl=impl, matrix_name=name)
     if workload == "sddmm":
         return bench_sddmm(host, A, config=cfg, impl=impl, matrix_name=name)
+    if workload == "spgemm":
+        from .workloads import bench_spgemm
+        return bench_spgemm(host, config=cfg, matrix_name=name)
+    if workload == "trisolve":
+        from .workloads import bench_trisolve
+        return bench_trisolve(host, config=cfg, matrix_name=name)
     if workload == "cg":
         return bench_cg(host, A, config=cfg, impl=impl, matrix_name=name)
     if workload == "bicgstab":

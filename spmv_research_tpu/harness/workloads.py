@@ -155,3 +155,87 @@ def bench_cg(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
         mape=res, max_ae=res,
         extra={"converged": bool(info["converged"]),
                "relative_residual": res, "solve_time": t_solve})
+
+
+def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
+                 matrix_name: str = "matrix") -> WorkloadResult:
+    """C = A·A (BASELINE config #4): symbolic plan on host (timed as the
+    conversion analog), numeric product on device; validated vs scipy."""
+    import scipy.sparse as sp
+    from ..ops.spgemm import spgemm_symbolic
+
+    cfg = config or BenchConfig()
+    t0 = time.perf_counter()
+    plan = spgemm_symbolic(host, host)
+    t_sym = time.perf_counter() - t0
+    dt = jnp.dtype(cfg.dtype)
+    a = jnp.asarray(host.a, dt)
+    nnz_c = int(plan.nnz_c)
+
+    def fn(av, a_idx, b_idx, seg):
+        prod = jnp.take(av, a_idx) * jnp.take(av, b_idx)
+        return jax.ops.segment_sum(prod, seg, num_segments=nnz_c,
+                                   indices_are_sorted=True)
+
+    args = (a, plan.a_idx, plan.b_idx, plan.seg)
+    c_vals = np.asarray(fn(*args), np.float64)
+    gold = (host.to_scipy() @ host.to_scipy()).tocsr()
+    gold.sum_duplicates()
+    gold.sort_indices()
+    got = sp.csr_matrix((c_vals, np.asarray(plan.c_ja),
+                         np.asarray(plan.c_ia)), shape=(host.m, host.n))
+    denom = np.abs(gold.data).max() or 1.0
+    max_ae = float(np.abs((got - gold).data).max() / denom) if (
+        got - gold).nnz else 0.0
+    t_med, loops = _time_fn(fn, args, cfg)
+    # flops = 2 * Σ_k (products) = 2 * intermediate products count
+    flops = 2.0 * float(plan.a_idx.shape[0])
+    return WorkloadResult(
+        workload="spgemm", matrix_name=matrix_name, format_name="CSR-ESC",
+        impl="xla", k=0, time_iter_median=t_med,
+        gflops=flops / t_med * 1e-9 if t_med > 0 else 0.0,
+        num_loops=loops, mape=max_ae, max_ae=max_ae,
+        extra={"nnz_c": int(plan.nnz_c), "t_symbolic": t_sym})
+
+
+def bench_trisolve(host: HostCSR, *, config: Optional[BenchConfig] = None,
+                   matrix_name: str = "matrix") -> WorkloadResult:
+    """ILU0 factorization + level-scheduled L/U triangular solves
+    (BASELINE config #4). gflops counts the 2·nnz(L)+2·nnz(U) solve flops."""
+    from ..convert import fix_diagonal_zeros
+    from ..solvers.ilu import (build_level_schedule, ilu0, ilu0_solve)
+
+    cfg = config or BenchConfig()
+    host = fix_diagonal_zeros(host)
+    t0 = time.perf_counter()
+    L, U = ilu0(host)
+    t_fact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Ls = build_level_schedule(L, lower=True, dtype=cfg.dtype)
+    Us = build_level_schedule(U, lower=False, dtype=cfg.dtype)
+    t_sched = time.perf_counter() - t0
+    rng = np.random.Generator(np.random.PCG64(5))
+    b = jnp.asarray(rng.uniform(0, 1, host.m), jnp.dtype(cfg.dtype))
+
+    def fn(b, lr, lc, lv, ld, ur, uc, uv, ud):
+        # LevelSchedule is a plain dataclass; rebuild around traced arrays
+        Ls2 = dataclasses.replace(Ls, rows=lr, cols=lc, vals=lv, inv_diag=ld)
+        Us2 = dataclasses.replace(Us, rows=ur, cols=uc, vals=uv, inv_diag=ud)
+        return ilu0_solve(Ls2, Us2, b)
+
+    leaves = (Ls.rows, Ls.cols, Ls.vals, Ls.inv_diag,
+              Us.rows, Us.cols, Us.vals, Us.inv_diag)
+    x = np.asarray(fn(b, *leaves), np.float64)
+    # residual of L·U·x vs b
+    lux = L.to_scipy() @ (U.to_scipy() @ x)
+    res = float(np.linalg.norm(lux - np.asarray(b, np.float64))
+                / max(np.linalg.norm(np.asarray(b)), 1e-300))
+    t_med, loops = _time_fn(fn, (b, *leaves), cfg)
+    flops = 2.0 * (L.nnz + U.nnz)
+    return WorkloadResult(
+        workload="trisolve", matrix_name=matrix_name, format_name="ILU0-LVL",
+        impl="xla", k=0, time_iter_median=t_med,
+        gflops=flops / t_med * 1e-9 if t_med > 0 else 0.0,
+        num_loops=loops, mape=res, max_ae=res,
+        extra={"t_factorize": t_fact, "t_schedule": t_sched,
+               "n_levels_L": Ls.n_levels, "n_levels_U": Us.n_levels})

@@ -166,3 +166,28 @@ def test_sddmm_gather_vs_reference(rng):
     got = np.asarray(sddmm(S, jnp.asarray(A), jnp.asarray(B), impl="gather"))
     want = np.asarray(sddmm(S, jnp.asarray(A), jnp.asarray(B), impl="xla"))
     assert np.max(np.abs(got[: host.nnz] - want[: host.nnz])) < 1e-4
+
+
+def test_bench_spgemm_and_trisolve(rng):
+    """BASELINE config #4 workloads produce validated results."""
+    from conftest import random_host_csr
+    from spmv_research_tpu.harness import BenchConfig
+    from spmv_research_tpu.harness.workloads import (bench_spgemm,
+                                                     bench_trisolve)
+
+    import scipy.sparse as sp
+    from spmv_research_tpu.core.host import HostCSR
+
+    host = random_host_csr(300, 300, 0.02, rng)
+    cfg = BenchConfig(min_num_loops=2, min_time_s=0.01)
+    r = bench_spgemm(host, config=cfg, matrix_name="t")
+    assert r.max_ae < 1e-5 and r.gflops >= 0
+    # ILU0 needs stable pivots: diagonally dominant SPD-ish matrix
+    mat = host.to_scipy()
+    dd = (mat + mat.T + sp.diags(np.abs(mat).sum(1).A1
+                                 + np.abs(mat).sum(0).A1 + 1.0)).tocsr()
+    dd.sum_duplicates(); dd.sort_indices()
+    host_dd = HostCSR.from_scipy(dd)
+    r2 = bench_trisolve(host_dd, config=cfg, matrix_name="t")
+    assert r2.max_ae < 1e-4
+    assert r2.extra["n_levels_L"] >= 1
