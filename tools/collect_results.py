@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Merge sweep CSVs from an out_logs dir into results/ and render a
+per-matrix best-engine summary (results/SUMMARY.md).
+
+Dedup rule: last row wins per (matrix, format_name) — format_name already
+encodes the impl variant (reference naming style).
+"""
+import csv
+import os
+import sys
+from collections import OrderedDict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def merge(out_dir="out_logs_r2", results_dir="results"):
+    os.makedirs(results_dir, exist_ok=True)
+    merged = {}
+    for fname in sorted(os.listdir(out_dir)):
+        if not fname.endswith(".csv"):
+            continue
+        wl = fname.rsplit("_", 1)[-1][:-4]           # spmv/spmm/...
+        with open(os.path.join(out_dir, fname)) as f:
+            rows = list(csv.DictReader(f))
+        dst = merged.setdefault(wl, OrderedDict())
+        for r in rows:
+            key = (r.get("matrix_name"), r.get("format_name"),
+                   r.get("impl", ""), r.get("K", ""))
+            dst[key] = r
+    for wl, rows in merged.items():
+        path = os.path.join(results_dir, f"corpus_{wl}.csv")
+        rows = list(rows.values())
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=rows[0].keys())
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {path} ({len(rows)} rows)")
+    # summary: best engine per matrix for spmv
+    spmv = list(merged.get("spmv", {}).values())
+    best = {}
+    for r in spmv:
+        name = r["matrix_name"]
+        try:
+            g = float(r["gflops"])
+        except (ValueError, KeyError):
+            continue
+        cur = best.setdefault(name, {"base": None, "best": None})
+        fmt = r["format_name"]
+        entry = (g, fmt, float(r.get("roofline_frac", 0) or 0))
+        if fmt.startswith("CSR_xla"):
+            cur["base"] = entry
+        if cur["best"] is None or g > cur["best"][0]:
+            cur["best"] = entry
+    return merged, best
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "out_logs_r2"
+    merged, best = merge(out_dir)
+    lines = ["# Corpus summary — SpMV on the validation twins (TPU v5e)", "",
+             "| matrix | best engine | GFLOPS | roofline frac | "
+             "speedup vs XLA-CSR |", "|---|---|---|---|---|"]
+    for name in sorted(best):
+        b = best[name]["best"]
+        base = best[name]["base"]
+        if b is None:
+            continue
+        sp = f"{b[0] / base[0]:.0f}x" if base and base[0] > 0 else "-"
+        lines.append(f"| {name} | {b[1]} | {b[0]:.2f} | {b[2]:.4f} | {sp} |")
+    with open("results/SUMMARY.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote results/SUMMARY.md")
+
+
+if __name__ == "__main__":
+    main()
