@@ -113,6 +113,26 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
             continue
         feats = extract_features(host) if params is not None else None
 
+        # format/impl-independent workloads run once per matrix
+        for workload in [w for w in workloads
+                         if w in ("spgemm", "trisolve")]:
+            csv_path = os.path.join(out_dir, f"{workload}.csv")
+            try:
+                r = _run_one(host, None, workload, None, cfg, name, 0.0)
+            except Exception as e:
+                print(f"# {workload} failed on {name}: "
+                      f"{type(e).__name__}: {e}", flush=True)
+                continue
+            results.append(r)
+            with open(csv_path, "a") as f:
+                if csv_path not in label_written and f.tell() == 0:
+                    f.write(_labels_for(workload, params is not None) + "\n")
+                label_written.add(csv_path)
+                f.write(_row_for(r, workload, params, feats) + "\n")
+            print(f"# {name} {workload}: {_summary(r)}", flush=True)
+        workloads_fmt = [w for w in workloads
+                         if w not in ("spgemm", "trisolve")]
+
         for fmt in formats:
             builder = FORMAT_BUILDERS[fmt]
             t0 = time.time()
@@ -125,7 +145,7 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
             t_convert = time.time() - t0
             print(f"# convert {name} -> {fmt}: {t_convert:.2f}s", flush=True)
 
-            for workload in workloads:
+            for workload in workloads_fmt:
                 table = workload if workload in ("spmv", "spmm", "sddmm") else "spmv"
                 try:
                     have = available_impls(table, A.format_name)

@@ -184,9 +184,10 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
     gold.sort_indices()
     got = sp.csr_matrix((c_vals, np.asarray(plan.c_ja),
                          np.asarray(plan.c_ia)), shape=(host.m, host.n))
-    denom = np.abs(gold.data).max() or 1.0
-    max_ae = float(np.abs((got - gold).data).max() / denom) if (
-        got - gold).nnz else 0.0
+    denom = float(np.abs(gold.data).max()) if gold.nnz else 1.0
+    diff = (got - gold)
+    max_ae = float(np.abs(diff.data).max() / (denom or 1.0)) if diff.nnz \
+        else 0.0
     t_med, loops = _time_fn(fn, args, cfg)
     # flops = 2 * Σ_k (products) = 2 * intermediate products count
     flops = 2.0 * float(plan.a_idx.shape[0])

@@ -71,11 +71,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _c_i64p, _c_i64p, _c_u8p, ctypes.c_int64, ctypes.c_int32,
         _c_u32p, _c_u32p, _c_i32p]
 
-    lib.sellw_pack.restype = ctypes.c_int64
-    lib.sellw_pack.argtypes = [
-        _c_i64p, _c_i32p, _c_f32p, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, _c_i32p]
+    if hasattr(lib, "sellw_pack"):   # stale pre-SELLW .so: degrade politely
+        lib.sellw_pack.restype = ctypes.c_int64
+        lib.sellw_pack.argtypes = [
+            _c_i64p, _c_i32p, _c_f32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, _c_i32p]
 
     _LIB = lib
     return _LIB
@@ -151,6 +152,11 @@ def waksman_route_native(s_full, t_full, real, N, L):
     return (np.zeros((0, N), np.uint32),
             B.reshape(n_words, N)[:used_words],
             [int(k) for k in ks[:n]])
+
+
+def have_sellw_pack() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "sellw_pack")
 
 
 def sellw_pack_native(ia, ja, a_f32, m):

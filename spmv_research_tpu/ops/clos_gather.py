@@ -85,7 +85,7 @@ class ClosG:
     scan_stages: Tuple[int, ...]
     C: int
     W: int                    # max window octaves per group (0 = legacy)
-    yext_classes: Tuple[Tuple[int, int, int], ...]  # (octaves, base, count)
+    yext_classes: Tuple[Tuple[int, int, int, int], ...]  # (octaves, base, count, accum)
     use_vlut: bool = False    # values are a 128-entry dict, idx in r1 spare
     fused_win: bool = False   # x windows sliced in-kernel from VMEM x plane
     dense_blocks: bool = True  # nbids is the identity (skip the compaction)

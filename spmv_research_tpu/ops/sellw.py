@@ -131,9 +131,10 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
                 max_chunk_factor: float = 4.0) -> SellW:
     """Compile host CSR into a SELLW program.
 
-    Raises :class:`SellWBuildError` when the matrix is a poor fit: x too
-    large for VMEM residency, or columns so scattered that the slot count
-    (≈ traffic blow-up) would exceed ``max_chunk_factor`` × nnz.
+    Raises :class:`SellWBuildError` when columns are so scattered that the
+    slot count (≈ traffic blow-up) would exceed ``max_chunk_factor`` × nnz.
+    x too large for VMEM residency is NOT an error: the program switches to
+    the streamed-wins kernel (``stream_wins``, 12 B/slot).
     """
     dt = np.dtype(dtype)
     m, n, nnz = csr.m, csr.n, csr.nnz
@@ -171,7 +172,7 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
     # native packer tier (native/sparse_host.cpp sellw_pack — identical
     # algorithm, ~50x the Python loop; conversion time is a reported metric)
     from ..io import native as _native
-    if _native.have_native() and dt == np.float32:
+    if _native.have_sellw_pack() and dt == np.float32:
         word_n, vals_n, wrow_n, pair_n, bids_n, max_part = (
             _native.sellw_pack_native(ia, csr.ja, csr.a.astype(np.float32),
                                       m))

@@ -123,12 +123,12 @@ def test_native_sellw_pack_matches_python(rng):
     cases.append(HostCSR.from_scipy(mat))
     for host in cases:
         A_native = sw.build_sellw(host, max_chunk_factor=1e9)
-        orig = native.have_native
-        native.have_native = lambda: False
+        orig = native.have_sellw_pack
+        native.have_sellw_pack = lambda: False
         try:
             A_py = sw.build_sellw(host, max_chunk_factor=1e9)
         finally:
-            native.have_native = orig
+            native.have_sellw_pack = orig
         assert A_native.nchunks == A_py.nchunks
         assert A_native.stages == A_py.stages
         np.testing.assert_array_equal(np.asarray(A_native.word),

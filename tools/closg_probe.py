@@ -66,7 +66,7 @@ def main():
         return spmv_closg_pallas(A, x)
 
     import dataclasses as dc
-    A_noscan = dc.replace(A, scan_stages=())
+    A_noscan = dc.replace(A, scan_stages=(), scan_cap=())
     A_noext = dc.replace(A, yext_classes=((1, 0, 0, 0),))
 
     def p_full_in(x, A):
