@@ -93,6 +93,41 @@ def load_matrix(spec: str, cfg: BenchConfig):
     return host, name, params
 
 
+def _fatal_runtime(e: Exception) -> bool:
+    """A dead TPU worker poisons the whole process — every later dispatch
+    fails with UNAVAILABLE. The only recovery is a fresh process (the
+    run_resumable.sh wrapper restarts it; the done-log resumes)."""
+    return "UNAVAILABLE" in str(e) or "worker process crashed" in str(e)
+
+
+class SweepDoneLog:
+    """Idempotent per-pair records (SURVEY §5.4): keys of completed —
+    or repeatedly worker-crashing — (matrix, format, impl, workload)
+    pairs, so a restarted sweep process skips finished work."""
+
+    def __init__(self, out_dir):
+        self.path = os.path.join(out_dir, "done.log")
+        self.done = set()
+        self.crashes = {}
+        if os.path.exists(self.path):
+            for ln in open(self.path):
+                tag, _, key = ln.strip().partition(" ")
+                if tag == "DONE":
+                    self.done.add(key)
+                elif tag == "CRASH":
+                    self.crashes[key] = self.crashes.get(key, 0) + 1
+
+    def skip(self, *key) -> bool:
+        k = "/".join(map(str, key))
+        return k in self.done or self.crashes.get(k, 0) >= 2
+
+    def mark(self, tag, *key):
+        with open(self.path, "a") as f:
+            f.write(f"{tag} {'/'.join(map(str, key))}\n")
+        if tag == "DONE":
+            self.done.add("/".join(map(str, key)))
+
+
 def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
               workloads: Sequence[str] = ("spmv",),
               impls: Optional[Sequence[str]] = None,
@@ -104,6 +139,7 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
     dtype = jnp.dtype(cfg.dtype)
     results = []
     label_written = set()
+    donelog = SweepDoneLog(out_dir)
 
     for spec in matrices:
         try:
@@ -117,9 +153,16 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
         for workload in [w for w in workloads
                          if w in ("spgemm", "trisolve")]:
             csv_path = os.path.join(out_dir, f"{workload}.csv")
+            if donelog.skip(name, workload):
+                continue
             try:
                 r = _run_one(host, None, workload, None, cfg, name, 0.0)
             except Exception as e:
+                if _fatal_runtime(e):
+                    donelog.mark("CRASH", name, workload)
+                    print(f"# FATAL worker death on {name}/{workload}; "
+                          "exiting for restart", flush=True)
+                    raise SystemExit(3)
                 print(f"# {workload} failed on {name}: "
                       f"{type(e).__name__}: {e}", flush=True)
                 continue
@@ -129,6 +172,7 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
                     f.write(_labels_for(workload, params is not None) + "\n")
                 label_written.add(csv_path)
                 f.write(_row_for(r, workload, params, feats) + "\n")
+            donelog.mark("DONE", name, workload)
             print(f"# {name} {workload}: {_summary(r)}", flush=True)
         workloads_fmt = [w for w in workloads
                          if w not in ("spgemm", "trisolve")]
@@ -139,6 +183,10 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
             try:
                 A = builder(host, dtype=dtype)
             except Exception as e:   # a builder bug must not kill the sweep
+                if _fatal_runtime(e):
+                    print(f"# FATAL worker death building {fmt} on {name}; "
+                          "exiting for restart", flush=True)
+                    raise SystemExit(3)
                 print(f"# {fmt} build failed on {name}: "
                       f"{type(e).__name__}: {e}", flush=True)
                 continue
@@ -156,12 +204,21 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
                     continue
                 for impl in fmt_impls:
                     csv_path = os.path.join(out_dir, f"{fmt}_{workload}.csv")
+                    if donelog.skip(name, fmt, impl, workload):
+                        continue
                     for attempt in range(max_retries):
                         try:
                             r = _run_one(host, A, workload, impl, cfg, name,
                                          t_convert)
                             break
                         except Exception as e:
+                            if _fatal_runtime(e):
+                                donelog.mark("CRASH", name, fmt, impl,
+                                             workload)
+                                print(f"# FATAL worker death on {name}/"
+                                      f"{fmt}/{impl}; exiting for restart",
+                                      flush=True)
+                                raise SystemExit(3)
                             print(f"# retry {fmt}/{impl}/{workload}: "
                                   f"{type(e).__name__}: {e}", flush=True)
                             if attempt == max_retries - 1:
@@ -176,8 +233,10 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
                                     + "\n")
                         label_written.add(csv_path)
                         f.write(_row_for(r, workload, params, feats) + "\n")
+                    donelog.mark("DONE", name, fmt, impl, workload)
                     print(f"# {name} {fmt}/{impl} {workload}: "
                           f"{_summary(r)}", flush=True)
+            del A   # release the format's device buffers before the next
     return results
 
 
