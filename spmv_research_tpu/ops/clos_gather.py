@@ -504,6 +504,14 @@ def _extract_y_xla(A: ClosG, v):
 
 @register_spmv("CLOSG", "xla")
 def spmv_closg_xla(A, x: jnp.ndarray) -> jnp.ndarray:
+    if isinstance(A, ClosGChunked) and jax.default_backend() not in ("cpu",):
+        # the fused multi-chunk XLA program (3x 2^20-slot rolls/transposes/
+        # candidate picks in one HLO) reproducibly crashes the remote TPU
+        # worker (observed on the mc2depi twin; single-program XLA runs
+        # fine). The XLA impl is a correctness reference — use the pallas
+        # impl or execute_closg_numpy for chunked formats on TPU.
+        raise ValueError("chunked CLOSG xla impl disabled on TPU "
+                         "(program too large for the remote worker)")
     if isinstance(A, ClosGChunked):
         return jnp.concatenate([spmv_closg_xla(c, x) for c in A.chunks])
     N, V = A.N, A.V

@@ -8,6 +8,6 @@ for i in $(seq 1 20); do
   rc=$?
   if [ $rc -ne 3 ]; then exit $rc; fi
   echo "# sweep exited for worker restart (attempt $i); waiting 180s" >&2
-  sleep 180
+  sleep 330
 done
 exit 1
