@@ -158,11 +158,21 @@ def _closg_need(csr: HostCSR, r0: int, r1: int) -> int:
 
 
 def build_clos_gather_auto(csr: HostCSR, dtype=jnp.float32,
-                           max_N: int = 1 << 20, value_lut: bool = False):
-    """build_clos_gather with automatic row chunking past the 2^20 cap."""
+                           max_N: int = 1 << 20, value_lut: bool = False,
+                           max_chunks: int = 12):
+    """build_clos_gather with automatic row chunking past the 2^20 cap.
+
+    ``max_chunks`` bounds the fused program size: every chunk contributes
+    ~9 pallas kernels to one jitted SpMV, and very large fused programs
+    crash the remote TPU worker (observed ≥ ~20M nnz)."""
     if _closg_need(csr, 0, csr.m) <= max_N:
         return build_clos_gather(csr, dtype=dtype, max_N=max_N,
                                  value_lut=value_lut)
+    est_chunks = _closg_need(csr, 0, csr.m) / (0.9 * max_N) + 1
+    if est_chunks > max_chunks:
+        raise ClosRoutingError(
+            f"~{est_chunks:.0f} chunks exceed the {max_chunks}-program cap "
+            "(fused program too large for the remote TPU worker)")
     splits = [0]
     r0 = 0
     nnz_per_row = max(csr.nnz / max(csr.m, 1), 1e-9)
