@@ -58,15 +58,24 @@ def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "out_logs_r2"
     merged, best = merge(out_dir)
     lines = ["# Corpus summary — SpMV on the validation twins (TPU v5e)", "",
-             "| matrix | best engine | GFLOPS | roofline frac | "
-             "speedup vs XLA-CSR |", "|---|---|---|---|---|"]
+             "| matrix | best engine | Gnnz/s | GFLOPS | roofline frac | "
+             "speedup vs XLA-CSR |", "|---|---|---|---|---|---|"]
+    import math
+    geo, geo_n = 0.0, 0
     for name in sorted(best):
         b = best[name]["best"]
         base = best[name]["base"]
         if b is None:
             continue
         sp = f"{b[0] / base[0]:.0f}x" if base and base[0] > 0 else "-"
-        lines.append(f"| {name} | {b[1]} | {b[0]:.2f} | {b[2]:.4f} | {sp} |")
+        if base and base[0] > 0:
+            geo += math.log(b[0] / base[0]); geo_n += 1
+        lines.append(f"| {name} | {b[1]} | {b[0] / 2:.2f} | {b[0]:.2f} | "
+                     f"{b[2]:.4f} | {sp} |")
+    if geo_n:
+        lines.append("")
+        lines.append(f"Geomean speedup vs the XLA-gather CSR baseline over "
+                     f"{geo_n} matrices: **{math.exp(geo / geo_n):.0f}x**.")
     with open("results/SUMMARY.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote results/SUMMARY.md")
