@@ -94,12 +94,50 @@ def _sample_row_lengths(p: ArtificialParams, rng: np.random.Generator) -> np.nda
     lengths = np.abs(snd).astype(np.int64)  # reference integerization (mirror negatives)
     np.minimum(lengths, p.nr_cols, out=lengths)
 
-    # Skew shaping: make max row length ≈ avg*(1+skew) in BOTH directions —
-    # clip the natural tail when it overshoots the target, boost heavy rows
-    # when it undershoots (a small tail either way, so avg shifts negligibly).
+    target_max = int(round(avg * (1.0 + max(p.skew, 0.0))))
+    target_max = min(max(target_max, 1), p.nr_cols)
+
+    # Heavy-tailed twins (std ≫ avg, large skew — power-law matrices like
+    # webbase/ASIC_680k/mawi): |N(avg, std)| has mean ≈ std·√(2/π) ≫ avg, so
+    # direct sampling misses the requested avg by an order of magnitude.
+    # Two-component model instead: light rows ~ |N(μ_l, μ_l/2)| plus a few
+    # geometrically decaying heavy rows sized so the realized second moment
+    # matches m·std² and the realized max hits avg·(1+skew) — reproducing
+    # exactly the features (nnz-r-avg/std/skew, csr_util_gen.c:1044-1115)
+    # the twin parameters were measured from.
+    if std > 1.5 * avg and p.skew > 10 and target_max > 4 * avg and p.nr_rows > 1:
+        V = p.nr_rows * std * std
+        rho = 0.8
+        lvl_f = target_max * rho ** np.arange(64, dtype=np.float64)
+        lvl_f = lvl_f[lvl_f >= max(2.0 * avg, 2.0)]
+        if lvl_f.size == 0:
+            lvl_f = np.array([float(target_max)])
+        tot_sq = float(np.sum(lvl_f * lvl_f))
+        if tot_sq < V:   # max is capped (e.g. at nr_cols): need several rows
+            mult = min(int(np.ceil(V / tot_sq)), max(p.nr_rows // 128, 1))
+            lvl_f = np.repeat(lvl_f, mult)
+            lvl_f[::-1].sort()
+        h = int(np.searchsorted(np.cumsum(lvl_f * lvl_f), V)) + 1
+        h = min(h, lvl_f.size, max(p.nr_rows // 20, 1))
+        # heavy mass must leave the light component a positive mean
+        h_mass = int(np.searchsorted(np.cumsum(lvl_f[:h]),
+                                     0.9 * avg * p.nr_rows))
+        h = max(min(h, max(h_mass, 1)), 1)
+        heavy = np.round(lvl_f[:h]).astype(np.int64)
+        mu_l = max(avg - heavy.sum() / p.nr_rows, 0.05 * avg)
+        lengths = np.abs(
+            rng.normal(loc=mu_l, scale=mu_l / 2.0, size=p.nr_rows)
+        ).astype(np.int64)
+        np.minimum(lengths, p.nr_cols, out=lengths)
+        heavy_rows = rng.choice(p.nr_rows, size=h, replace=False)
+        lengths[heavy_rows] = heavy
+        return lengths
+
+    # Moderate skew shaping: make max row length ≈ avg*(1+skew) in BOTH
+    # directions — clip the natural tail when it overshoots the target, boost
+    # heavy rows when it undershoots (a small tail either way, so avg shifts
+    # negligibly).
     if p.skew > 0 and p.nr_rows > 0:
-        target_max = int(round(avg * (1.0 + p.skew)))
-        target_max = min(max(target_max, 1), p.nr_cols)
         np.minimum(lengths, target_max, out=lengths)
         cur_max = int(lengths.max()) if lengths.size else 0
         if target_max > cur_max:
@@ -228,40 +266,27 @@ def _place_columns(p: ArtificialParams, lengths: np.ndarray,
 def _dedupe_sorted_rows(cols: np.ndarray, lengths: np.ndarray, n: int) -> np.ndarray:
     """Make per-row sorted column lists strictly increasing: duplicates are pushed
     forward by +1 (cascading), then rows overflowing n are pushed backward.
-    Vectorized fixpoint iteration; cascades converge in O(max duplicate-run)."""
-    m = lengths.size
+
+    Closed form of the push fixpoints (O(total), one pass each way):
+    forward   r_p = p + max_{q≤p}(c_q − q)       (segmented running max);
+    backward  r'_p = min(r_p, n − len + p)       (r strictly increasing makes
+    every intermediate backward term slack except the row-end cap, and the min
+    of two strictly increasing sequences stays strictly increasing)."""
+    total = cols.size
+    if total == 0:
+        return cols
+    live = lengths > 0
+    row_of = np.repeat(np.arange(lengths.size)[live], lengths[live])
     starts = np.cumsum(lengths) - lengths
-    row_first = np.zeros(cols.size, dtype=bool)
-    row_first[starts[lengths > 0]] = True
-    # forward pushes cascade at most max-row-length times; iterate to fixpoint
-    max_iter = int(lengths.max()) + 2 if m else 1
-    for _ in range(max_iter):
-        prev = np.empty_like(cols)
-        prev[1:] = cols[:-1]
-        prev[0] = -1
-        need = (~row_first) & (cols <= prev)
-        if not need.any():
-            break
-        cols = np.where(need, prev + 1, cols)
-    else:
-        raise RuntimeError("column dedupe did not converge (internal)")
-    # backward fix for overflow past n-1
-    if cols.size and cols.max() >= n:
-        for _ in range(max_iter):
-            nxt = np.empty_like(cols)
-            nxt[:-1] = cols[1:]
-            nxt[-1] = n
-            row_last = np.zeros(cols.size, dtype=bool)
-            ends = starts + lengths - 1
-            row_last[ends[lengths > 0]] = True
-            cap = np.where(row_last, n - 1, nxt - 1)
-            over = cols > cap
-            if not over.any():
-                break
-            cols = np.where(over, cap, cols)
-        else:
-            raise RuntimeError("column overflow fix did not converge (internal)")
-    return cols
+    pos = np.arange(total) - starts[row_of]
+    # segmented running max of (c - pos) via a per-row monotone offset
+    base = np.int64(n + 2)
+    d = (cols.astype(np.int64) - pos) + row_of * base
+    np.maximum.accumulate(d, out=d)
+    r = (d - row_of * base) + pos
+    # backward overflow cap (rows longer than n were clipped upstream)
+    np.minimum(r, (np.int64(n) - lengths[row_of]) + pos, out=r)
+    return r
 
 
 def artificial_matrix_generation(params: ArtificialParams) -> tuple[HostCSR, MatrixFeatures]:
