@@ -37,7 +37,7 @@ def matrix_digest(csr: HostCSR) -> str:
     return h.hexdigest()[:24]
 
 
-SCHEMA_VERSION = 11  # bump when any format pytree's field set changes
+SCHEMA_VERSION = 12  # bump when any format pytree's field set changes
 
 
 def _key(csr: HostCSR, fmt_name: str, kwargs: dict) -> str:

@@ -14,5 +14,7 @@ from . import bsr_mxu   # registers BSRG spmv/spmm + BSR mxu sddmm
 from .bsr_mxu import build_bsrg, BsrG
 from . import sellw     # registers SELLW xla+pallas impls
 from .sellw import build_sellw, SellW
+from . import rowsplit  # registers RSPLIT wrapper impls
+from .rowsplit import split_long_rows, RowSplit
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
 from .value_compress import CSRLUT, build_csr_lut

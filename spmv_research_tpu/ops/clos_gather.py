@@ -157,14 +157,40 @@ def _closg_need(csr: HostCSR, r0: int, r1: int) -> int:
     return max(nnz_c + 1, r1 - r0, s_needed * LANES, 8 * BLK)
 
 
+SPLIT_ROW_NNZ = 16384    # rows past this break the windowed y extraction
+
+
 def build_clos_gather_auto(csr: HostCSR, dtype=jnp.float32,
                            max_N: int = 1 << 20, value_lut: bool = False,
-                           max_chunks: int = 12):
+                           max_chunks: int = 12, split_rows: bool = True):
     """build_clos_gather with automatic row chunking past the 2^20 cap.
 
     ``max_chunks`` bounds the fused program size: every chunk contributes
     ~9 pallas kernels to one jitted SpMV, and very large fused programs
-    crash the remote TPU worker (observed ≥ ~20M nnz)."""
+    crash the remote TPU worker (observed ≥ ~20M nnz).
+
+    Extreme-skew matrices (a few mega-rows among light ones — webbase/
+    ASIC_680k/rajat30 twins) are routed through the long-row split first:
+    rows > ``SPLIT_ROW_NNZ`` become ≤-256-nnz sub-rows, which keeps every
+    chunk's y extraction in the fast windowed regime (W ≤ 32 octaves) and
+    lets a single original row span chunk boundaries. The split is skipped
+    for high-average matrices (many uniformly heavy rows): their group
+    windows exceed 64 octaves regardless, the legacy candidate-plane back
+    end covers them, and a mass split would make the H-row combine
+    scatter-bound."""
+    if split_rows:
+        from .rowsplit import split_long_rows, wrap_row_split, DEFAULT_T
+        lengths = csr.row_lengths()
+        heavy_n = int((lengths > SPLIT_ROW_NNZ).sum())
+        if 0 < heavy_n <= 4096:
+            csr2, heavy, seg_ptr = split_long_rows(
+                csr, DEFAULT_T, threshold=SPLIT_ROW_NNZ)
+            inner = build_clos_gather_auto(csr2, dtype=dtype, max_N=max_N,
+                                           value_lut=value_lut,
+                                           max_chunks=max_chunks,
+                                           split_rows=False)
+            return wrap_row_split(inner, (csr.m, csr.n), csr.nnz,
+                                  csr.nnz_expanded, heavy, seg_ptr)
     if _closg_need(csr, 0, csr.m) <= max_N:
         return build_clos_gather(csr, dtype=dtype, max_N=max_N,
                                  value_lut=value_lut)
