@@ -331,6 +331,76 @@ int32_t waksman_route(const int64_t* s_in, const int64_t* t_in,
   return n_stages;
 }
 
+// ------------------------------------------------------ euler edge coloring
+
+// Proper 2^levels-edge-coloring of a bipartite multigraph where every vertex
+// on both sides has degree exactly 2^levels (the Clos routing primitive —
+// see spmv_research_tpu/ops/clos_route.py:euler_edge_color, whose numpy
+// tier this replaces: cycle walking is O(E) per level vs argsort+pointer-
+// doubling O(E log E), and dominates CLOSG program build time).
+//
+// Euler-split recursion: per level, pair edges sharing a (color-class, left
+// vertex) and likewise on the right (counting-sort bucket grouping; bucket
+// sizes are even so consecutive pairing never straddles buckets), then walk
+// the alternating pl/pr cycles assigning the new color bit by position
+// parity. Returns 0, or -1 when the key space exceeds the allocator guard
+// (caller falls back to numpy).
+int32_t euler_edge_color(const int64_t* left, const int64_t* right,
+                         int64_t E, int32_t levels, int32_t* color) {
+  if (E <= 0) return 0;
+  int64_t nl = 0, nr = 0;
+  for (int64_t i = 0; i < E; ++i) {
+    nl = std::max(nl, left[i] + 1);
+    nr = std::max(nr, right[i] + 1);
+  }
+  const int64_t kmax = (1LL << (levels > 0 ? levels - 1 : 0))
+                       * std::max(nl, nr);
+  // int32 internals keep the latency-bound random-access passes in half
+  // the memory traffic; the guards force the numpy fallback outside range
+  if (kmax > (1LL << 28) || E > (1LL << 30)) return -1;
+  const int32_t n = (int32_t)E;
+  std::vector<int32_t> pl(n), pr(n), order(n), cnt;
+  std::vector<int32_t> lv(n), rv(n);
+  for (int32_t i = 0; i < n; ++i) lv[i] = (int32_t)left[i];
+  for (int32_t i = 0; i < n; ++i) rv[i] = (int32_t)right[i];
+  std::vector<char> seen(n);
+  std::fill(color, color + n, 0);
+
+  auto build_pair = [&](const int32_t* vert, int32_t nv,
+                        std::vector<int32_t>& pair, int32_t ncls) {
+    const int32_t K = ncls * nv;
+    cnt.assign((size_t)K + 1, 0);
+    for (int32_t i = 0; i < n; ++i) cnt[color[i] * nv + vert[i] + 1]++;
+    for (int32_t k = 0; k < K; ++k) cnt[k + 1] += cnt[k];
+    for (int32_t i = 0; i < n; ++i)
+      order[cnt[color[i] * nv + vert[i]]++] = i;
+    for (int32_t j = 0; j + 1 < n; j += 2) {
+      pair[order[j]] = order[j + 1];
+      pair[order[j + 1]] = order[j];
+    }
+  };
+
+  for (int32_t lvl = 0; lvl < levels; ++lvl) {
+    const int32_t ncls = 1 << lvl;
+    build_pair(lv.data(), (int32_t)nl, pl, ncls);
+    build_pair(rv.data(), (int32_t)nr, pr, ncls);
+    std::fill(seen.begin(), seen.end(), 0);
+    for (int32_t s = 0; s < n; ++s) {
+      if (seen[s]) continue;
+      int32_t e = s;
+      do {  // alternating cycle: e -pl-> f -pr-> next e; even length
+        seen[e] = 1;
+        color[e] = color[e] * 2;
+        const int32_t f = pl[e];
+        seen[f] = 1;
+        color[f] = color[f] * 2 + 1;
+        e = pr[f];
+      } while (e != s);
+    }
+  }
+  return 0;
+}
+
 // --------------------------------------------------------------- SELLW pack
 //
 // Native tier of the SELLW format compiler (ops/sellw.py build_sellw):

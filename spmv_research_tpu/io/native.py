@@ -71,6 +71,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _c_i64p, _c_i64p, _c_u8p, ctypes.c_int64, ctypes.c_int32,
         _c_u32p, _c_u32p, _c_i32p]
 
+    if hasattr(lib, "euler_edge_color"):  # stale .so: degrade politely
+        lib.euler_edge_color.restype = ctypes.c_int32
+        lib.euler_edge_color.argtypes = [
+            _c_i64p, _c_i64p, ctypes.c_int64, ctypes.c_int32, _c_i32p]
+
     if hasattr(lib, "sellw_pack"):   # stale pre-SELLW .so: degrade politely
         lib.sellw_pack.restype = ctypes.c_int64
         lib.sellw_pack.argtypes = [
@@ -152,6 +157,22 @@ def waksman_route_native(s_full, t_full, real, N, L):
     return (np.zeros((0, N), np.uint32),
             B.reshape(n_words, N)[:used_words],
             [int(k) for k in ks[:n]])
+
+
+def have_euler_edge_color() -> bool:
+    lib = get_lib()
+    return lib is not None and hasattr(lib, "euler_edge_color")
+
+
+def euler_edge_color_native(left, right, levels):
+    """Returns per-edge colors, or None when the native guard declines
+    (key space too large) — caller falls back to numpy."""
+    lib = get_lib()
+    left = np.ascontiguousarray(left, np.int64)
+    right = np.ascontiguousarray(right, np.int64)
+    color = np.empty(left.size, np.int32)
+    rc = lib.euler_edge_color(left, right, left.size, levels, color)
+    return color if rc == 0 else None
 
 
 def have_sellw_pack() -> bool:

@@ -80,7 +80,16 @@ def euler_edge_color(left: np.ndarray, right: np.ndarray,
     per-edge colors in [0, 2^levels). Euler-split: at each level, pair edges
     at every vertex, 2-color the alternating pairing cycles, recurse on each
     half; vectorized by carrying the accumulated color as a vertex-id prefix.
+
+    The native tier (cycle walking, O(E)/level) dominates CLOSG program
+    build time; this numpy tier (argsort + pointer-doubling orbit reps,
+    O(E log E)/level) is the always-available fallback.
     """
+    from ..io.native import have_euler_edge_color, euler_edge_color_native
+    if have_euler_edge_color():
+        color = euler_edge_color_native(left, right, levels)
+        if color is not None:
+            return color
     E = left.shape[0]
     color = np.zeros(E, dtype=np.int64)
     left = left.astype(np.int64)

@@ -139,3 +139,32 @@ def test_native_sellw_pack_matches_python(rng):
                                       np.asarray(A_py.wrow))
         np.testing.assert_array_equal(np.asarray(A_native.yidx),
                                       np.asarray(A_py.yidx))
+
+
+def test_native_euler_edge_color_proper(rng):
+    """Native Euler-split edge coloring (cycle walking) must produce a
+    PROPER coloring — no two edges at one vertex share a color — on
+    d-regular bipartite multigraphs, like the numpy tier it replaces
+    (clos_route.euler_edge_color). Colorings need not be identical across
+    tiers (any proper coloring routes), so the property is what's tested."""
+    from spmv_research_tpu.io import native
+    from spmv_research_tpu.ops.clos_route import euler_edge_color
+    if not native.have_euler_edge_color():
+        pytest.skip("native lib without euler_edge_color")
+    nrng = np.random.default_rng(7)
+    for nv, levels in [(8, 3), (64, 7), (1024, 10)]:
+        deg = 1 << levels
+        right = np.concatenate([nrng.permutation(nv) for _ in range(deg)])
+        left = np.tile(np.arange(nv), deg)
+        col_nat = native.euler_edge_color_native(left, right, levels)
+        orig = native.have_euler_edge_color
+        native.have_euler_edge_color = lambda: False
+        try:
+            col_py = euler_edge_color(left, right, levels)
+        finally:
+            native.have_euler_edge_color = orig
+        for col in (col_nat, col_py):
+            assert col.min() >= 0 and col.max() < deg
+            for vert in (left, right):
+                key = vert.astype(np.int64) * deg + col
+                assert np.unique(key).size == left.size
