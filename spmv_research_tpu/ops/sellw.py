@@ -24,13 +24,16 @@ x2d row it touches) plus spill chunks of the same block, so no nnz is ever
 unrepresentable. ``y = Σ_k out[yidx[k]]`` row-gathers sum the per-chunk
 partial y rows.
 
-**Block pairing:** a chunk actually serves a pair of adjacent y blocks
-(``bid`` bit selects which; two output planes, one per pair member). For
-banded matrices adjacent blocks touch mostly the same x2d rows, so merging
-their bins nearly halves the per-bin sublane slack — the dominant waste
-(bins of ~80 nnz against 128-slot sublanes). Lane conflicts (rows of both
-blocks with equal ``row mod 128`` ending in one sublane) are resolved at
-build by first-fit over the bin's open sublanes.
+**Block grouping:** a chunk actually serves a group of ``G`` adjacent y
+blocks (``bid`` = log2(G) bits select which; G output planes, one per group
+member). For banded matrices adjacent blocks touch mostly the same x2d
+rows, so merging their bins amortizes the per-bin last-sublane slack — the
+dominant waste (bins of ~80 nnz against 128-slot sublanes) — over G·bin
+nnz: measured slots/nnz on the mac_econ twin 2.70 (G=1) → 2.06 (G=2) →
+1.46 (G=4) → 1.33 (G=8). The tax is G masked sums in extraction. Lane
+conflicts (rows of two grouped blocks with equal ``row mod 128`` ending in
+one sublane) are resolved at build by first-fit over the bin's open
+sublanes.
 
 Kernel (per grid step, all chunks batched)
 ------------------------------------------
@@ -55,7 +58,7 @@ Word bit layout (int32, per slot (s, l) of a chunk):
   [7,14)   scan guard bits  (stage k at bit 7+k)
   [14,21)  eidx             end lane of the part of row l in sublane s
   [21]     emask            (s, l) holds a live part end
-  [22]     bid              pair member the part's row belongs to
+  [22,25)  bid              group member the part's row belongs to (< G ≤ 8)
 """
 
 from __future__ import annotations
@@ -86,7 +89,7 @@ class SellWBuildError(ValueError):
 
 @partial(_register, data_fields=("word", "vals", "wrow", "yidx"),
          meta_fields=("shape", "nnz", "nnz_expanded", "nchunks", "x_rows",
-                      "K", "stages", "stream_wins"))
+                      "K", "stages", "stream_wins", "G"))
 @dataclasses.dataclass(frozen=True)
 class SellW:
     word: jnp.ndarray   # (8·nchunks_pad, 128) int32 packed per-slot word
@@ -102,6 +105,7 @@ class SellW:
     stages: int         # segmented-scan stages = ceil(log2(max part len))
     stream_wins: bool = False  # n too big for VMEM x: XLA pre-gathers wins
                                # and the kernel streams them (12 B/slot)
+    G: int = 2          # y blocks grouped per chunk (bid bits = log2 G)
 
     format_name = "SELLW"
 
@@ -128,15 +132,21 @@ def _guard_bits(k: int) -> np.ndarray:
 
 
 def build_sellw(csr: HostCSR, dtype=jnp.float32,
-                max_chunk_factor: float = 4.0) -> SellW:
+                max_chunk_factor: float = 4.0, group: int = 2) -> SellW:
     """Compile host CSR into a SELLW program.
 
-    Raises :class:`SellWBuildError` when columns are so scattered that the
-    slot count (≈ traffic blow-up) would exceed ``max_chunk_factor`` × nnz.
-    x too large for VMEM residency is NOT an error: the program switches to
-    the streamed-wins kernel (``stream_wins``, 12 B/slot).
+    ``group`` = G adjacent y blocks share each chunk's bins (power of two
+    ≤ 8; larger G amortizes last-sublane slack at the cost of G masked
+    extraction sums). Raises :class:`SellWBuildError` when columns are so
+    scattered that the slot count (≈ traffic blow-up) would exceed
+    ``max_chunk_factor`` × nnz. x too large for VMEM residency is NOT an
+    error: the program switches to the streamed-wins kernel
+    (``stream_wins``, 12 B/slot).
     """
     dt = np.dtype(dtype)
+    G = int(group)
+    if G not in (1, 2, 4, 8):
+        raise SellWBuildError(f"group must be a power of two ≤ 8 ({G})")
     m, n, nnz = csr.m, csr.n, csr.nnz
     stream_wins = n > _X_VMEM_LIMIT
     if m == 0 or nnz == 0:
@@ -146,14 +156,14 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
     ia = csr.ia.astype(np.int64)
     ja = csr.ja.astype(np.int64)
 
-    # fast suitability precheck, sampled: chunks per block PAIR ≈
+    # fast suitability precheck, sampled: chunks per block GROUP ≈
     # max(ceil(#distinct-x2d-rows / 8), ceil(nnz / 1024)) — scattered
     # matrices (1-2 nnz per x2d row) degenerate to ~128 slots/nnz
     est_slots = est_nnz = 0
-    npairs_pre = (nblocks + 1) // 2
+    npairs_pre = (nblocks + G - 1) // G
     for b in range(0, npairs_pre, max(npairs_pre // 64, 1)):
-        e0 = int(ia[b * 2 * LANES])
-        e1 = int(ia[min((b + 1) * 2 * LANES, m)])
+        e0 = int(ia[b * G * LANES])
+        e1 = int(ia[min((b + 1) * G * LANES, m)])
         if e0 == e1:
             continue
         nb = np.unique(ja[e0:e1] // LANES).size
@@ -172,7 +182,7 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
     # native packer tier (native/sparse_host.cpp sellw_pack — identical
     # algorithm, ~50x the Python loop; conversion time is a reported metric)
     from ..io import native as _native
-    if _native.have_sellw_pack() and dt == np.float32:
+    if _native.have_sellw_pack() and dt == np.float32 and G == 2:
         word_n, vals_n, wrow_n, pair_n, bids_n, max_part = (
             _native.sellw_pack_native(ia, csr.ja, csr.a.astype(np.float32),
                                       m))
@@ -181,26 +191,27 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
                 f"chunk count {pair_n.shape[0]} exceeded {chunk_cap} "
                 "(scattered columns)")
         return _emit_sellw(word_n.view(np.uint32), vals_n, wrow_n,
-                           list(pair_n), [(bool(b & 1), bool(b & 2))
+                           list(pair_n), [tuple(bool(b & (1 << g))
+                                                for g in range(G))
                                           for b in bids_n],
                            max_part, m, n, nnz, csr.nnz_expanded, x_rows,
-                           nblocks, dt, stream_wins)
+                           nblocks, dt, stream_wins, G)
 
     wrow_l, word_l, vals_l = [], [], []
     chunk_pair, chunk_bids = [], []
     gb_cache = {k: _guard_bits(k) for k in range(1, LANES + 1)}
     max_part = 1
-    npairs = (nblocks + 1) // 2
+    npairs = (nblocks + G - 1) // G
 
     for pb in range(npairs):
-        r0, r1 = pb * 2 * LANES, min((pb + 1) * 2 * LANES, m)
+        r0, r1 = pb * G * LANES, min((pb + 1) * G * LANES, m)
         e0, e1 = int(ia[r0]), int(ia[r1])
         if e0 == e1:
             continue
         cols_b = ja[e0:e1]
         vals_b = csr.a[e0:e1].astype(dt)
         lens = ia[r0 + 1:r1 + 1] - ia[r0:r1]
-        rowl_b = np.repeat(np.arange(r1 - r0), lens)   # 0..255 within pair
+        rowl_b = np.repeat(np.arange(r1 - r0), lens)   # 0..G·128-1 in group
         blk_b = cols_b // LANES
         # parts = maximal runs of equal (row, x2d row); CSR keeps a row's
         # nnz on one x2d row consecutive. Order parts by (x2d row, length
@@ -220,7 +231,7 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
             pos = [0] * SUB
             sub_of = {}         # x2d row -> open sublanes (in open order)
             next_s = 0
-            bids = [False, False]
+            bids = [False] * G
             defer = []
             for t in queue:
                 p, q, k = int(pstart[t]), int(pend[t]), int(plen[t])
@@ -267,12 +278,12 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
               else np.zeros(0, np.int32))
     return _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids,
                        max_part, m, n, nnz, csr.nnz_expanded, x_rows,
-                       nblocks, dt, stream_wins)
+                       nblocks, dt, stream_wins, G)
 
 
 def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
                 m, n, nnz, nnz_expanded, x_rows, nblocks, dt,
-                stream_wins) -> SellW:
+                stream_wins, G) -> SellW:
     """Pad the packed chunks, build yidx, assemble the pytree (shared tail
     of the native and Python packer tiers)."""
     nchunks = len(chunk_pair)
@@ -284,20 +295,20 @@ def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
         word[: nchunks * SUB] = word_u
         vals[: nchunks * SUB] = vals_u
         wrow[: nchunks * SUB] = wrow_u
-    # output rows: pair-even partials live at [0, npad), pair-odd at
-    # [npad, 2·npad), the all-zero row at 2·npad
+    # output rows: group-member g's partials live at [g·npad, (g+1)·npad),
+    # the all-zero row at G·npad
     slot = np.zeros(max(nblocks, 1), np.int64)
     entries = []
     for c, (pb, bids) in enumerate(zip(chunk_pair, chunk_bids)):
-        for bid in (0, 1):
-            b = 2 * pb + bid
+        for bid in range(G):
+            b = G * pb + bid
             if bids[bid] and b < nblocks:
                 entries.append((b, c + bid * npad))
                 slot[b] += 1
     K = max(int(slot.max()) if nblocks else 1, 1)
     if K > 64:
         raise SellWBuildError(f"y-block multiplicity {K} > 64")
-    yidx = np.full((K, nblocks), 2 * npad, np.int32)   # 2·npad = zero row
+    yidx = np.full((K, nblocks), G * npad, np.int32)   # G·npad = zero row
     slot[:] = 0
     for b, row in entries:
         yidx[slot[b], b] = row
@@ -309,7 +320,7 @@ def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
                  nnz_expanded=nnz_expanded, nchunks=nchunks,
                  x_rows=x_rows, K=K,
                  stages=int(max_part - 1).bit_length(),
-                 stream_wins=stream_wins)
+                 stream_wins=stream_wins, G=G)
 
 
 # ---------------------------------------------------------------- execution
@@ -320,9 +331,9 @@ def _x_plane(A: SellW, x, dtype):
                        A.x_rows, LANES)
 
 
-def _combine_y(A: SellW, oa, ob):
+def _combine_y(A: SellW, planes):
     outp = jnp.concatenate(
-        [oa, ob, jnp.zeros((1, LANES), oa.dtype)], axis=0)
+        list(planes) + [jnp.zeros((1, LANES), planes[0].dtype)], axis=0)
     y2 = outp.at[A.yidx].get(mode="promise_in_bounds").sum(axis=0)
     return y2.reshape(-1)[: A.m]
 
@@ -339,15 +350,28 @@ def spmv_sellw_xla(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
         v = v + jnp.where(guard, jnp.roll(v, 1 << k, axis=1), 0.0)
     E = jnp.take_along_axis(v, (w >> 14) & 0x7F, axis=1)
     live = ((w >> 21) & 1) != 0
-    b1 = ((w >> 22) & 1) != 0
-    za = jnp.where(live & ~b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
-    zb = jnp.where(live & b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
-    return _combine_y(A, za, zb)
+    bid = (w >> 22) & (A.G - 1)
+    planes = [jnp.where(live & (bid == g), E, 0.0)
+              .reshape(nch, SUB, LANES).sum(axis=1) for g in range(A.G)]
+    return _combine_y(A, planes)
 
 
-def _sellw_kernel(nB, stages, wrow_ref, word_ref, val_ref, x2d_ref,
-                  oa_ref, ob_ref, wins_ref):
+def _extract_planes(G, nB, w, E):
+    """G masked (nB,128) extraction planes from the end-pick E.
+
+    Direct per-g masks; a select/subtract split tree (2·(G−1)+2 passes
+    instead of 3·G) measured SLOWER at every G on v5e — the dependent
+    subtract chain schedules worse than independent fused masks."""
+    live = ((w >> 21) & 1) != 0
+    bid = (w >> 22) & (G - 1)
+    return [jnp.sum(jnp.where(live & (bid == g), E, 0.0)
+                    .reshape(nB, SUB, LANES), axis=1) for g in range(G)]
+
+
+def _sellw_kernel(nB, stages, G, wrow_ref, word_ref, val_ref, x2d_ref,
+                  *orefs_wins):
     """One grid step: nB chunks, all stages batched over (8·nB, 128)."""
+    orefs, wins_ref = orefs_wins[:G], orefs_wins[G]
     i = pl.program_id(0)
 
     def fill(j, _):
@@ -362,16 +386,12 @@ def _sellw_kernel(nB, stages, wrow_ref, word_ref, val_ref, x2d_ref,
         guard = ((w >> (7 + k)) & 1) != 0
         v = v + jnp.where(guard, pltpu.roll(v, 1 << k, 1), 0.0)
     E = jnp.take_along_axis(v, (w >> 14) & 0x7F, axis=1)
-    live = ((w >> 21) & 1) != 0
-    b1 = ((w >> 22) & 1) != 0
-    za = jnp.where(live & ~b1, E, 0.0)
-    zb = jnp.where(live & b1, E, 0.0)
-    oa_ref[:] = jnp.sum(za.reshape(nB, SUB, LANES), axis=1)
-    ob_ref[:] = jnp.sum(zb.reshape(nB, SUB, LANES), axis=1)
+    for g, z in enumerate(_extract_planes(G, nB, w, E)):
+        orefs[g][:] = z
 
 
-def _sellw_stream_kernel(nB, stages, wins_ref, word_ref, val_ref,
-                         oa_ref, ob_ref):
+def _sellw_stream_kernel(nB, stages, G, wins_ref, word_ref, val_ref,
+                         *orefs):
     """Streamed-wins variant: wins pre-gathered by XLA (n too big for a
     VMEM-resident x plane), streamed per grid block like word/vals."""
     w = word_ref[:]
@@ -380,12 +400,8 @@ def _sellw_stream_kernel(nB, stages, wins_ref, word_ref, val_ref,
         guard = ((w >> (7 + k)) & 1) != 0
         v = v + jnp.where(guard, pltpu.roll(v, 1 << k, 1), 0.0)
     E = jnp.take_along_axis(v, (w >> 14) & 0x7F, axis=1)
-    live = ((w >> 21) & 1) != 0
-    b1 = ((w >> 22) & 1) != 0
-    za = jnp.where(live & ~b1, E, 0.0)
-    zb = jnp.where(live & b1, E, 0.0)
-    oa_ref[:] = jnp.sum(za.reshape(nB, SUB, LANES), axis=1)
-    ob_ref[:] = jnp.sum(zb.reshape(nB, SUB, LANES), axis=1)
+    for g, z in enumerate(_extract_planes(G, nB, w, E)):
+        orefs[g][:] = z
 
 
 @register_spmv("SELLW", "pallas")
@@ -396,22 +412,22 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
     interpret = jax.default_backend() not in ("tpu",)
     blk = lambda i: (i, 0)  # noqa: E731
     vspec = pl.BlockSpec((nB * SUB, LANES), blk, memory_space=pltpu.VMEM)
-    ospecs = (pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM),
-              pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM))
-    oshape = (jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype),
-              jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype))
+    ospecs = tuple(pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM)
+                   for _ in range(A.G))
+    oshape = tuple(jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype)
+                   for _ in range(A.G))
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     if A.stream_wins:
         wins = x2d.at[A.wrow].get(mode="promise_in_bounds")
-        oa, ob = pl.pallas_call(
-            partial(_sellw_stream_kernel, nB, A.stages),
+        planes = pl.pallas_call(
+            partial(_sellw_stream_kernel, nB, A.stages, A.G),
             out_shape=oshape, grid=(nch // nB,),
             in_specs=[vspec, vspec, vspec], out_specs=ospecs,
             compiler_params=params, interpret=interpret,
         )(wins, A.word, A.vals)
     else:
-        oa, ob = pl.pallas_call(
-            partial(_sellw_kernel, nB, A.stages),
+        planes = pl.pallas_call(
+            partial(_sellw_kernel, nB, A.stages, A.G),
             out_shape=oshape, grid=(nch // nB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec,
@@ -422,7 +438,7 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
             scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
             compiler_params=params, interpret=interpret,
         )(A.wrow, A.word, A.vals, x2d)
-    return _combine_y(A, oa, ob)
+    return _combine_y(A, planes)
 
 
 def execute_sellw_numpy(A: SellW, x: np.ndarray) -> np.ndarray:
@@ -440,10 +456,10 @@ def execute_sellw_numpy(A: SellW, x: np.ndarray) -> np.ndarray:
         v = v + np.where(guard, np.roll(v, 1 << k, axis=1), 0.0)
     E = np.take_along_axis(v, ((w >> 14) & 0x7F).astype(np.int64), axis=1)
     live = ((w >> 21) & 1) != 0
-    b1 = ((w >> 22) & 1) != 0
-    za = np.where(live & ~b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
-    zb = np.where(live & b1, E, 0.0).reshape(nch, SUB, LANES).sum(axis=1)
-    outp = np.concatenate([za, zb, np.zeros((1, LANES))], axis=0)
+    bid = (w >> 22) & (A.G - 1)
+    planes = [np.where(live & (bid == g), E, 0.0)
+              .reshape(nch, SUB, LANES).sum(axis=1) for g in range(A.G)]
+    outp = np.concatenate(planes + [np.zeros((1, LANES))], axis=0)
     y2 = outp[np.asarray(A.yidx)].sum(axis=0)
     return y2.reshape(-1)[: A.m]
 
@@ -460,15 +476,13 @@ def _spmm_x_planes(A: SellW, X, dtype, kt):
     return jnp.transpose(Xp.reshape(A.x_rows, LANES, Kp), (2, 0, 1))
 
 
-def _sellw_spmm_kernel(nB, stages, wrow_ref, word_ref, val_ref, *refs):
+def _sellw_spmm_kernel(nB, stages, G, wrow_ref, word_ref, val_ref, *refs):
     """One grid step, one k-tile of 8: per k, the SpMV pipeline re-runs on
     the k-th x plane while word/vals stay VMEM-resident. Outputs are
     k-major within the step's block: rows [kk·nB, (kk+1)·nB)."""
-    xrefs, (oa_ref, ob_ref, wins_ref) = refs[:8], refs[8:]
+    xrefs, orefs, wins_ref = refs[:8], refs[8:8 + G], refs[8 + G]
     i = pl.program_id(0)
     w = word_ref[:]
-    live = ((w >> 21) & 1) != 0
-    b1 = ((w >> 22) & 1) != 0
     eidx = (w >> 14) & 0x7F
     lane = w & 0x7F
     for kk in range(8):
@@ -483,12 +497,8 @@ def _sellw_spmm_kernel(nB, stages, wrow_ref, word_ref, val_ref, *refs):
             guard = ((w >> (7 + k)) & 1) != 0
             v = v + jnp.where(guard, pltpu.roll(v, 1 << k, 1), 0.0)
         E = jnp.take_along_axis(v, eidx, axis=1)
-        za = jnp.where(live & ~b1, E, 0.0)
-        zb = jnp.where(live & b1, E, 0.0)
-        oa_ref[pl.ds(kk * nB, nB), :] = jnp.sum(
-            za.reshape(nB, SUB, LANES), axis=1)
-        ob_ref[pl.ds(kk * nB, nB), :] = jnp.sum(
-            zb.reshape(nB, SUB, LANES), axis=1)
+        for g, z in enumerate(_extract_planes(G, nB, w, E)):
+            orefs[g][pl.ds(kk * nB, nB), :] = z
 
 
 @register_spmm("SELLW", "pallas")
@@ -512,27 +522,27 @@ def spmm_sellw_pallas(A: SellW, X: jnp.ndarray) -> jnp.ndarray:
     ospec = pl.BlockSpec((8 * nB, LANES), blk8, memory_space=pltpu.VMEM)
     cols = []
     for t in range(kt):
-        oa, ob = pl.pallas_call(
-            partial(_sellw_spmm_kernel, nB, A.stages),
-            out_shape=(jax.ShapeDtypeStruct((8 * nch, LANES), A.vals.dtype),
-                       jax.ShapeDtypeStruct((8 * nch, LANES), A.vals.dtype)),
+        planes = pl.pallas_call(
+            partial(_sellw_spmm_kernel, nB, A.stages, A.G),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((8 * nch, LANES), A.vals.dtype)
+                for _ in range(A.G)),
             grid=(nch // nB,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec]
             + [xspec] * 8,
-            out_specs=(ospec, ospec),
+            out_specs=(ospec,) * A.G,
             scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(A.wrow, A.word, A.vals, *[Xp[8 * t + kk] for kk in range(8)])
         # un-interleave the k-major step blocks -> (8, nch, 128)
-        oa = jnp.transpose(oa.reshape(nch // nB, 8, nB, LANES),
-                           (1, 0, 2, 3)).reshape(8, nch, LANES)
-        ob = jnp.transpose(ob.reshape(nch // nB, 8, nB, LANES),
-                           (1, 0, 2, 3)).reshape(8, nch, LANES)
+        planes = [jnp.transpose(o.reshape(nch // nB, 8, nB, LANES),
+                                (1, 0, 2, 3)).reshape(8, nch, LANES)
+                  for o in planes]
         for kk in range(8):
             if 8 * t + kk < K:
-                cols.append(_combine_y(A, oa[kk], ob[kk]))
+                cols.append(_combine_y(A, [o[kk] for o in planes]))
     return jnp.stack(cols, axis=1)
 
 

@@ -147,3 +147,33 @@ def test_sellw_spmm(rng):
             Y = np.asarray(spmm(A, jnp.asarray(X), impl=impl), np.float64)
             np.testing.assert_allclose(Y / scale, want / scale, atol=1e-5,
                                        err_msg=f"{impl} K={K}")
+
+
+@pytest.mark.parametrize("G", [1, 4, 8])
+def test_sellw_block_grouping(rng, G):
+    """G-way block grouping (group=G): all three tiers agree on a banded
+    matrix at every G. Occupancy improves with G but the masked-sum tax
+    makes G>2 a measured performance negative (DESIGN_NOTES.md) — the
+    parameter stays for future Mosaic scheduling work."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from spmv_research_tpu.ops.sellw import build_sellw, execute_sellw_numpy
+    from spmv_research_tpu.ops import spmv as do_spmv
+
+    m = n = 1500
+    A = sp.diags([rng.uniform(-1, 1, m) for _ in range(7)],
+                 [-200, -129, -1, 0, 1, 129, 200], shape=(m, n),
+                 format="csr")
+    A.eliminate_zeros()
+    A.sort_indices()
+    host = HostCSR.from_scipy(A)
+    F = build_sellw(host, group=G)
+    assert F.G == G
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    want = A @ x.astype(np.float64)
+    scale = np.abs(A) @ np.abs(x).astype(np.float64) + 1e-30
+    y_np = execute_sellw_numpy(F, x.astype(np.float64))
+    y_xla = np.asarray(do_spmv(F, jnp.asarray(x), impl="xla"))
+    y_pal = np.asarray(do_spmv(F, jnp.asarray(x), impl="pallas"))
+    for y in (y_np, y_xla, y_pal):
+        assert np.max(np.abs(y - want) / scale) < 1e-5
