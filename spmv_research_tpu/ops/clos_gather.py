@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.host import HostCSR
-from .dispatch import register_spmv
+from .dispatch import register_spmv, register_spmm
 from .clos_route import BLK, LANES, SUB, ClosRoutingError, route_clos
 from .clos import (LANE2_SHIFT, ROT_SHIFT, SPARE_BITS, SPARE_SHIFT,
                    _pack, _register, _stage_bit, _invreg_xla, _t_fwd, _t_bwd)
@@ -789,3 +789,30 @@ def execute_closg_numpy(A, x: np.ndarray) -> np.ndarray:
         pick = np.take_along_axis(cands[c], lam_y, axis=1)
         y = np.where(cid == c, pick, y)
     return y.reshape(-1)[: A.m]
+
+
+# ------------------------------------------------------------------- SpMM
+
+def _spmm_scan(A, X: jnp.ndarray, impl: str) -> jnp.ndarray:
+    """Y = A @ X as a ``lax.scan`` over X's columns: the SpMV pipeline
+    compiles ONCE regardless of K (an unrolled K-loop of chunked-CLOSG
+    programs crashes the remote TPU worker past ~12 fused chunks; the scan
+    keeps the program at one chunk set). Reference role: bench_spmm.cpp
+    K_DIM sweep (``config.sh:138-143``)."""
+    from . import dispatch
+
+    def body(_, xk):
+        return 0, dispatch.spmv(A, xk, impl=impl)
+
+    _, ys = jax.lax.scan(body, 0, jnp.transpose(X))
+    return jnp.transpose(ys)
+
+
+@register_spmm("CLOSG", "xla")
+def spmm_closg_xla(A, X: jnp.ndarray) -> jnp.ndarray:
+    return _spmm_scan(A, X, "xla")
+
+
+@register_spmm("CLOSG", "pallas")
+def spmm_closg_pallas(A, X: jnp.ndarray) -> jnp.ndarray:
+    return _spmm_scan(A, X, "pallas")

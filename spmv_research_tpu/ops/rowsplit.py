@@ -173,6 +173,27 @@ def spmv_rowsplit_xla(A: RowSplit, x: jnp.ndarray) -> jnp.ndarray:
     return _spmv_rowsplit(A, x, "xla")
 
 
+def _spmm_rowsplit(A: RowSplit, X: jnp.ndarray, impl: str) -> jnp.ndarray:
+    """Column scan like clos_gather._spmm_scan (one compiled SpMV body)."""
+    import jax
+
+    def body(_, xk):
+        return 0, _spmv_rowsplit(A, xk, impl)
+
+    _, ys = jax.lax.scan(body, 0, jnp.transpose(X))
+    return jnp.transpose(ys)
+
+
+@dispatch.register_spmm("RSPLIT", "pallas")
+def spmm_rowsplit_pallas(A: RowSplit, X: jnp.ndarray) -> jnp.ndarray:
+    return _spmm_rowsplit(A, X, "pallas")
+
+
+@dispatch.register_spmm("RSPLIT", "xla")
+def spmm_rowsplit_xla(A: RowSplit, X: jnp.ndarray) -> jnp.ndarray:
+    return _spmm_rowsplit(A, X, "xla")
+
+
 def execute_rowsplit_numpy(A: RowSplit, y2: np.ndarray) -> np.ndarray:
     """float64 host reference of the combine (program semantics)."""
     m = A.shape[0]

@@ -172,3 +172,21 @@ def test_closg_high_degree(rng, impl):
     assert np.max(np.abs(y - want) / scale) < 1e-5
     y64 = execute_closg_numpy(A, x.astype(np.float64))
     assert np.max(np.abs(y64 - want) / scale) < 1e-6
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_closg_spmm_scan(rng, impl):
+    """CLOSG SpMM = lax.scan over X columns (one compiled SpMV body;
+    reference bench_spmm.cpp K_DIM role)."""
+    import jax.numpy as jnp
+    from spmv_research_tpu.ops import spmm
+
+    host = random_host_csr(500, 400, 0.02, rng)
+    A = build_clos_gather(host)
+    K = 5
+    X = rng.uniform(-1, 1, (host.n, K)).astype(np.float32)
+    Y = np.asarray(spmm(A, jnp.asarray(X), impl=impl))
+    want = host.to_scipy() @ X.astype(np.float64)
+    scale = np.abs(host.to_scipy()) @ np.abs(X).astype(np.float64) + 1e-30
+    assert Y.shape == (host.m, K)
+    assert np.max(np.abs(Y - want) / scale) < 1e-5

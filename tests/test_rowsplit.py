@@ -91,3 +91,27 @@ def test_closg_auto_no_split_for_uniform(rng):
     host = random_host_csr(256, 256, 0.15, rng)
     A = build_clos_gather_auto(host)
     assert A.format_name == "CLOSG"
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_rowsplit_spmm(rng, impl):
+    """RSPLIT SpMM: scanned column loop over the wrapped SpMV."""
+    import jax.numpy as jnp
+    from spmv_research_tpu.ops import spmm
+    import spmv_research_tpu.ops.clos_gather as cg
+
+    host = _skewed_host(rng)
+    old = cg.SPLIT_ROW_NNZ
+    cg.SPLIT_ROW_NNZ = 512
+    try:
+        A = build_clos_gather_auto(host)
+    finally:
+        cg.SPLIT_ROW_NNZ = old
+    assert A.format_name == "RSPLIT"
+    K = 4
+    X = rng.uniform(-1, 1, (host.n, K)).astype(np.float32)
+    Y = np.asarray(spmm(A, jnp.asarray(X), impl=impl))
+    want = host.to_scipy() @ X.astype(np.float64)
+    scale = np.abs(host.to_scipy()) @ np.abs(X).astype(np.float64) + 1e-30
+    assert Y.shape == (host.m, K)
+    assert np.max(np.abs(Y - want) / scale) < 1e-5
