@@ -648,6 +648,65 @@ def _gmul_win(A, x):
     )(A.gbase, A.perm_r1, A.vals_cs, x2c)
 
 
+def _gmul_r1_dma_kernel(nRows, rowidx_ref, p_ref, vals_ref, x2d_ref,
+                        o_ref, win_ref):
+    """Gather-mul + r1 with in-kernel window fill: wins[s] = x2d[rowidx[s]]
+    as per-sublane (1,128) dynamic slices from the VMEM-resident x plane
+    (SELLW's fill pattern — no rot-select, rowidx is per-sublane free).
+    Deletes the XLA wins round trip (~8 MB at N=2^20) from the HBM-bound
+    front half; applicable when the x plane fits VMEM (n ≤ 2^20)."""
+    from jax.experimental import pallas as pl
+    from .clos_pallas import _invreg_ops
+    i = pl.program_id(0)
+
+    def fill(j, _):
+        r = rowidx_ref[i * nRows + j]
+        win_ref[pl.ds(j, 1), :] = x2d_ref[pl.ds(r, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, nRows, fill, 0, unroll=True)
+    w = p_ref[:]
+    g = jnp.take_along_axis(win_ref[:], (w >> SPARE_SHIFT) & 0x7F, axis=1)
+    o_ref[:] = _invreg_ops(g * vals_ref[:], w)
+
+
+def _gmul_dma(A, x):
+    """DMA-fill front end: x plane VMEM-resident, windows filled in-kernel.
+
+    Block = 512 sublane rows per grid step (SELLW's proven fill size —
+    the fill loop is fully unrolled, and 1024 unrolled DMAs per step
+    crashed the remote worker's compiler)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _DMA_BLK = 512
+    S = SUB * A.V
+    x2d = jnp.pad(x.astype(A.vals_cs.dtype),
+                  (0, A.x_rows * LANES - x.shape[0])).reshape(
+                      A.x_rows, LANES)
+    steps = S // _DMA_BLK if (S % _DMA_BLK == 0 and S > _DMA_BLK) else 1
+    rows = S // steps
+    blk = lambda i: (i, 0)  # noqa: E731
+    interpret = jax.default_backend() not in ("tpu",)
+    return pl.pallas_call(
+        partial(_gmul_r1_dma_kernel, rows),
+        out_shape=jax.ShapeDtypeStruct((S, LANES), A.vals_cs.dtype),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rows, LANES), A.vals_cs.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(A.rowidx, A.perm_r1, A.vals_cs, x2d)
+
+
 def _gmul_r1_kernel(lut, wins_ref, p_ref, vals_ref, o_ref):
     """Window lane-pick (λ in r1 spare bits) + value multiply + r1 layer,
     fused: one kernel instead of two saves an 8 MB v round-trip plus the
@@ -694,6 +753,8 @@ def spmv_closg_pallas(A, x: jnp.ndarray) -> jnp.ndarray:
     S = SUB * V
     if A.fused_win:
         v = _gmul_win(A, x)
+    elif not A.use_vlut and A.x_rows * LANES * 4 <= (4 << 20):
+        v = _gmul_dma(A, x)    # x plane fits VMEM: fill windows in-kernel
     else:
         wins = _windows(A, x)
         v = _call_gridded(partial(_gmul_r1_kernel, A.use_vlut), wins,
