@@ -124,11 +124,18 @@ def bench_sddmm(host: HostCSR, S, *, config: Optional[BenchConfig] = None,
 
 def bench_cg(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
              impl: Optional[str] = None, matrix_name: str = "matrix",
-             bicgstab: bool = False) -> WorkloadResult:
+             bicgstab: bool = False,
+             precond: str = "jacobi") -> WorkloadResult:
     cfg = config or BenchConfig()
     rng = np.random.Generator(np.random.PCG64(13))
     b = rng.uniform(0, 1, host.m)
-    solver = solve_bicgstab if bicgstab else solve_cg
+    if precond == "jacobi":
+        solver = solve_bicgstab if bicgstab else solve_cg
+    elif precond in ("ic0", "ilu0"):
+        from ..solvers import solve_cg_ic0, solve_bicgstab_ilu0
+        solver = solve_bicgstab_ilu0 if bicgstab else solve_cg_ic0
+    else:
+        raise ValueError(f"unknown preconditioner {precond!r}")
     rtol = 1e-6 if cfg.dtype == "float32" else 1e-12
 
     # one timed solve (compile excluded by a warm-up solve)
@@ -148,7 +155,8 @@ def bench_cg(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
     return WorkloadResult(
         workload="bicgstab" if bicgstab else "cg",
         matrix_name=matrix_name, format_name=A.format_name,
-        impl=impl or "auto", k=0,
+        impl=(impl or "auto") + ("" if precond == "jacobi"
+                                 else f"+{precond}"), k=0,
         time_iter_median=t_solve / max(iters, 1),
         gflops=flops_iter * iters / t_solve * 1e-9 if t_solve > 0 else 0.0,
         num_loops=iters,

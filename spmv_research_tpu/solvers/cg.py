@@ -50,13 +50,16 @@ def _jacobi_inv_diag(host_csr, dtype):
     return jnp.asarray(1.0 / diag, dtype=dtype)
 
 
-def cg(A, b: jnp.ndarray, *, inv_diag: jnp.ndarray,
+def cg(A, b: jnp.ndarray, *, inv_diag: Optional[jnp.ndarray] = None,
        max_iters: int = 50, rtol: float = 1e-6,
        x0: Optional[jnp.ndarray] = None,
        spmv_fn: Optional[Callable] = None, impl: Optional[str] = None,
-       check_every: int = 100, divergence_factor: float = 1e3):
-    """Jacobi-preconditioned CG. Returns (x, info dict of device scalars)."""
+       check_every: int = 100, divergence_factor: float = 1e3,
+       precond_fn: Optional[Callable] = None):
+    """Preconditioned CG. ``precond_fn(r) = M⁻¹ r`` (must be SPD); defaults
+    to Jacobi via ``inv_diag``. Returns (x, info dict of device scalars)."""
     mv = spmv_fn or (lambda v: spmv_dispatch(A, v, impl=impl))
+    mz = precond_fn or (lambda r_: inv_diag * r_)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else x0
     b_norm2 = jnp.vdot(b, b)
@@ -68,7 +71,7 @@ def cg(A, b: jnp.ndarray, *, inv_diag: jnp.ndarray,
     check_every = max(min(check_every, max_iters), 1)
 
     r = b - mv(x)
-    z = inv_diag * r
+    z = mz(r)
     p = z
     rho = jnp.vdot(r, z)
     rr = jnp.vdot(r, r)
@@ -98,7 +101,7 @@ def cg(A, b: jnp.ndarray, *, inv_diag: jnp.ndarray,
             do_check, with_check, lambda r_, x_: (r_, jnp.vdot(r_, r_)),
             r_impl, x)
 
-        z = inv_diag * r_new
+        z = mz(r_new)
         rho_new = jnp.vdot(r_new, z)
         beta = rho_new / jnp.where(rho == 0, 1e-30, rho)
         p = z + beta * p
@@ -114,13 +117,16 @@ def cg(A, b: jnp.ndarray, *, inv_diag: jnp.ndarray,
                     "converged": rr_best <= tol2}
 
 
-def bicgstab(A, b: jnp.ndarray, *, inv_diag: jnp.ndarray,
+def bicgstab(A, b: jnp.ndarray, *, inv_diag: Optional[jnp.ndarray] = None,
              max_iters: int = 50, rtol: float = 1e-6,
              x0: Optional[jnp.ndarray] = None,
              spmv_fn: Optional[Callable] = None,
-             impl: Optional[str] = None):
-    """Jacobi-preconditioned BiCGStab (reference ``bench_bicg.cpp:150``)."""
+             impl: Optional[str] = None,
+             precond_fn: Optional[Callable] = None):
+    """Preconditioned BiCGStab (reference ``bench_bicg.cpp:150``);
+    ``precond_fn(r) = M⁻¹ r`` defaults to Jacobi via ``inv_diag``."""
     mv = spmv_fn or (lambda v: spmv_dispatch(A, v, impl=impl))
+    mz = precond_fn or (lambda r_: inv_diag * r_)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else x0
     tol2 = (rtol * rtol) * jnp.vdot(b, b)
@@ -140,12 +146,12 @@ def bicgstab(A, b: jnp.ndarray, *, inv_diag: jnp.ndarray,
         beta = (rho_new / jnp.where(rho == 0, 1e-30, rho)) * (
             alpha / jnp.where(omega == 0, 1e-30, omega))
         p = r + beta * (p - omega * v)
-        p_hat = inv_diag * p
+        p_hat = mz(p)
         v = mv(p_hat)
         denom = jnp.vdot(r_hat, v)
         alpha = rho_new / jnp.where(denom == 0, 1e-30, denom)
         s = r - alpha * v
-        s_hat = inv_diag * s
+        s_hat = mz(s)
         t = mv(s_hat)
         tt = jnp.vdot(t, t)
         omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1e-30, tt)
@@ -174,3 +180,40 @@ def solve_cg(host_csr, A, b, dtype=jnp.float32, **kw):
 def solve_bicgstab(host_csr, A, b, dtype=jnp.float32, **kw):
     inv_diag = _jacobi_inv_diag(host_csr, dtype)
     return bicgstab(A, jnp.asarray(b, dtype=dtype), inv_diag=inv_diag, **kw)
+
+
+def _ic0_precond(host_csr, dtype):
+    """M⁻¹ = (L·Lᵀ)⁻¹ from IC(0): two level-scheduled trisolves per apply.
+
+    No reference analog (bench_cg.cpp is Jacobi-only); BASELINE config #4
+    adds IC0/trisolve as components, and this wires them into the solver.
+    """
+    from .ilu import ic0, build_level_schedule, sptrsv
+    from ..core.host import HostCSR
+    L = ic0(host_csr)
+    Lt = HostCSR.from_scipy(L.to_scipy().T.tocsr())
+    Ls = build_level_schedule(L, lower=True, dtype=dtype)
+    Us = build_level_schedule(Lt, lower=False, dtype=dtype)
+    return lambda r: sptrsv(Us, sptrsv(Ls, r))
+
+
+def _ilu0_precond(host_csr, dtype):
+    """M⁻¹ = (L·U)⁻¹ from ILU(0) (for BiCGStab on nonsymmetric systems)."""
+    from .ilu import ilu0, build_level_schedule, sptrsv
+    L, U = ilu0(host_csr)
+    Ls = build_level_schedule(L, lower=True, dtype=dtype)
+    Us = build_level_schedule(U, lower=False, dtype=dtype)
+    return lambda r: sptrsv(Us, sptrsv(Ls, r))
+
+
+def solve_cg_ic0(host_csr, A, b, dtype=jnp.float32, **kw):
+    """IC(0)-preconditioned CG (SPD systems): M = L·Lᵀ on A's lower
+    pattern, applied as two level-scheduled trisolves per iteration."""
+    return cg(A, jnp.asarray(b, dtype=dtype),
+              precond_fn=_ic0_precond(host_csr, dtype), **kw)
+
+
+def solve_bicgstab_ilu0(host_csr, A, b, dtype=jnp.float32, **kw):
+    """ILU(0)-preconditioned BiCGStab (general square systems)."""
+    return bicgstab(A, jnp.asarray(b, dtype=dtype),
+                    precond_fn=_ilu0_precond(host_csr, dtype), **kw)
