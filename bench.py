@@ -60,9 +60,11 @@ def main():
     except ImportError:
         pass
 
-    # candidate order: fastest-compiling baseline first, then the TPU-native
-    # engine (pallas only — its xla lowering hits the serialized-gather path
-    # on TPU and burns the budget for a number that's never competitive)
+    # candidate order: the TPU-native engine FIRST (it is the headline
+    # number — measuring the slow XLA baseline first risks the budget
+    # expiring on a slow worker before the engine runs), then the CSR/xla
+    # baseline for the speedup column. Engines run pallas only — their xla
+    # lowering hits the serialized-gather path and is never competitive.
     order = []
     for name, A in fmts.items():
         for impl in available_impls("spmv", A.format_name):
@@ -71,7 +73,7 @@ def main():
             if name != "CSR" and impl != "pallas":
                 continue
             order.append((name, A, impl))
-    order.sort(key=lambda t: t[0] != "CSR")
+    order.sort(key=lambda t: t[0] == "CSR")
 
     for name, A, impl in order:
         print(f"# starting {name}/{impl} (elapsed {_time.time()-t_budget_start:.0f}s)",

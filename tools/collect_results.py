@@ -54,6 +54,30 @@ def merge(out_dir="out_logs_r2", results_dir="results"):
     return merged, best
 
 
+def workloads_summary(merged):
+    """Markdown rows for the non-spmv workload tables (cg/bicgstab/spmm/
+    sddmm/spgemm/trisolve CSVs share the compact schema)."""
+    lines = []
+    for wl in sorted(merged):
+        if wl == "spmv":
+            continue
+        rows = list(merged[wl].values())
+        if not rows:
+            continue
+        lines.append(f"\n## {wl}\n")
+        lines.append("| matrix | format | impl | K | gflops | iters/loops |"
+                     " mape |")
+        lines.append("|---|---|---|---|---|---|---|")
+        for r in rows:
+            lines.append(
+                f"| {r.get('matrix_name')} | {r.get('format_name')} "
+                f"| {r.get('impl','')} | {r.get('K','')} "
+                f"| {float(r.get('gflops',0) or 0):.3f} "
+                f"| {r.get('num_loops','')} "
+                f"| {float(r.get('mape',0) or 0):.2e} |")
+    return lines
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "out_logs_r2"
     merged, best = merge(out_dir)
@@ -76,6 +100,7 @@ def main():
         lines.append("")
         lines.append(f"Geomean speedup vs the XLA-gather CSR baseline over "
                      f"{geo_n} matrices: **{math.exp(geo / geo_n):.0f}x**.")
+    lines.extend(workloads_summary(merged))
     with open("results/SUMMARY.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote results/SUMMARY.md")
