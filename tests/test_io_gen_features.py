@@ -197,3 +197,26 @@ def test_generator_extreme_dedupe():
     for i in range(csr.m):
         seg = csr.ja[csr.ia[i]: csr.ia[i + 1]]
         assert np.all(np.diff(seg) > 0)
+
+
+def test_create_param_file_lines(tmp_path):
+    """Param-file generator (reference create_param_file.py role): the
+    footprint formula determines rows, lines drive the generator."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from create_param_file import param_lines
+    from spmv_research_tpu.gen import generate_from_line
+
+    files = param_lines(["4-8"], 2, [5.0], [0.3], [0.0], [0.5], [0.25])
+    lines = files["4-8"]
+    assert len(lines) == 2
+    fields = lines[0].split()
+    assert len(fields) == 11
+    nr_rows, avg = int(fields[0]), float(fields[2])
+    size_mb = 4
+    assert nr_rows == int((size_mb * (1 << 20) - 4) // (12 * avg + 4))
+    host, feats = generate_from_line(lines[0])
+    assert host.m == nr_rows
+    # realized CSR footprint lands in the requested class (12B/nnz + 4B/row)
+    mb = (12 * host.nnz + 4 * (host.m + 1)) / (1 << 20)
+    assert 2.0 < mb < 10.0
