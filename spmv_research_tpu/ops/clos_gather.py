@@ -196,9 +196,11 @@ def build_clos_gather_auto(csr: HostCSR, dtype=jnp.float32,
                                  value_lut=value_lut)
     est_chunks = _closg_need(csr, 0, csr.m) / (0.9 * max_N) + 1
     if est_chunks > max_chunks:
-        raise ClosRoutingError(
-            f"~{est_chunks:.0f} chunks exceed the {max_chunks}-program cap "
-            "(fused program too large for the remote TPU worker)")
+        # XL path: lax.scan over stacked uniform chunk programs — program
+        # size constant in the chunk count (the fused path crashes the
+        # remote worker past ~12 chunks)
+        from .clos_xl import build_clos_gather_xl
+        return build_clos_gather_xl(csr, dtype=dtype, chunk_N=max_N)
     splits = [0]
     r0 = 0
     nnz_per_row = max(csr.nnz / max(csr.m, 1), 1e-9)
@@ -227,7 +229,15 @@ def build_clos_gather_auto(csr: HostCSR, dtype=jnp.float32,
 
 def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
                       max_N: int = 1 << 20, value_lut: bool = False,
-                      fuse_windows: bool = False) -> ClosG:
+                      fuse_windows: bool = False, force_N: int = 0,
+                      cap_scan: bool = True, class_pow2: bool = False,
+                      host_arrays: bool = False) -> ClosG:
+    """``force_N``: pad the program to exactly N=force_N slots (the XL
+    scan-over-chunks path needs uniform chunk shapes); ``cap_scan=False``
+    disables scan-stage capping (its synthetic extra picks assume the
+    chunk's own cap width — XL chunks share one compiled body, so capping
+    must be off or uniform); ``class_pow2``: round y-extraction window
+    classes up to powers of two so chunks share one canonical class set."""
     dt = np.dtype(dtype)
     m, n, nnz = csr.m, csr.n, csr.nnz
 
@@ -249,6 +259,11 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     # read it during y extraction)
     need = max(nnz + 1, m, S_needed * LANES, 8 * BLK)
     N = 1 << int(need - 1).bit_length()
+    if force_N:
+        if need > force_N:
+            raise ClosRoutingError(
+                f"chunk needs {need} slots > forced N={force_N}")
+        N = force_N
     if N > max_N:
         raise ClosRoutingError(f"matrix too large for clos-gather (N={N})")
     V = N // BLK
@@ -382,6 +397,9 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     smin = np.where(has, smin, 0)
     smax = np.where(has, np.maximum(smax, smin), 0)
     w_g = (smax - smin) // SUB + 1                     # octaves per group
+    if class_pow2:      # XL: classes must be uniform across chunks
+        w_g = np.power(2, np.ceil(np.log2(np.maximum(w_g, 1)))
+                       ).astype(w_g.dtype)
     W = int(w_g.max()) if m_rows_pad else 1
     if W <= 64:            # cid is 9 bits [7,16); high-degree rows ride the
         # same per-group multi-octave loop (W picks per group, paid only by
@@ -425,7 +443,7 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     # Measured motivation: 10 rows >32 nnz forced 9 stages on the scircuit
     # twin; stages cost ~1.4 us each at N=2^20.
     scan_cap = scan_stages
-    if W and len(scan_stages) > 4:
+    if cap_scan and W and len(scan_stages) > 4:
         bits_full = len(scan_stages)
         # cost model: one scan stage over (S,128) ~ 9 extra-batch
         # extractions (measured ~1.4 us/stage vs ~0.16 us/batch at N=2^20);
@@ -491,20 +509,23 @@ def build_clos_gather(csr: HostCSR, dtype=jnp.float32,
     dummy = np.zeros((SUB, LANES), np.int32)
     scan_hi = (scan_guards >> SPARE_BITS).astype(np.uint32)
 
+    # XL stacking consumes numpy leaves; skip the per-chunk device put
+    conv = np.asarray if host_arrays else jnp.asarray
+
     return ClosG(
-        rowidx=jnp.asarray(rowidx),
-        vals_cs=jnp.asarray(vals_cs if lut else vals_cs.reshape(S, LANES)),
-        perm_r1=jnp.asarray(_pack(perm.r1, lam)),
-        perm_r2=jnp.asarray(_pack(perm.r2)),
-        perm_r3=jnp.asarray(_pack(perm.r3, scan_guards & spare_mask)),
-        ycand=jnp.asarray(ycand.reshape(-1)),
-        ysel=jnp.asarray(ysel.view(np.int32)),
-        ysel_w=jnp.asarray(ysel_w.view(np.int32)),
-        wstart=jnp.asarray(wstart),
-        border=jnp.asarray(border),
-        scan_hi=jnp.asarray(scan_hi.view(np.int32).reshape(S, LANES)
-                            if scan_hi.any() else dummy),
-        gbase=jnp.asarray(gbase), nbids=jnp.asarray(nbids),
+        rowidx=conv(rowidx),
+        vals_cs=conv(vals_cs if lut else vals_cs.reshape(S, LANES)),
+        perm_r1=conv(_pack(perm.r1, lam)),
+        perm_r2=conv(_pack(perm.r2)),
+        perm_r3=conv(_pack(perm.r3, scan_guards & spare_mask)),
+        ycand=conv(ycand.reshape(-1)),
+        ysel=conv(ysel.view(np.int32)),
+        ysel_w=conv(ysel_w.view(np.int32)),
+        wstart=conv(wstart),
+        border=conv(border),
+        scan_hi=conv(scan_hi.view(np.int32).reshape(S, LANES)
+                     if scan_hi.any() else dummy),
+        gbase=conv(gbase), nbids=conv(nbids),
         shape=(m, n), nnz=nnz, nnz_expanded=csr.nnz_expanded,
         N=N, V=V, x_rows=int((n + LANES - 1) // LANES),
         scan_stages=scan_stages, C=C, W=W,

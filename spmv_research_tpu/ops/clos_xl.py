@@ -1,0 +1,411 @@
+"""CLOSGX: XL matrices via ``lax.scan`` over uniform CLOSG chunk programs.
+
+The fused multi-chunk CLOSG program tops out at ~12 chunks (larger fused
+XLA programs crash the remote TPU worker), capping single-chip matrices at
+~12M slots. This module lifts the cap without growing the program: every
+chunk is built with a FORCED uniform shape (N = 2^20 slots, padded), the
+per-chunk plane arrays are stacked on a leading chunk axis, and execution
+is one ``jax.lax.scan`` whose body is a single compiled chunk pipeline —
+program size is constant in the chunk count, and Pallas/XLA stream each
+chunk's planes from HBM exactly once (they are scanned xs).
+
+Uniformity requirements and how they are met (host-side, at build):
+  * N, V           — ``build_clos_gather(force_N=2^20)`` pads every chunk.
+  * scan stages    — capping disabled (``cap_scan=False``; its synthetic
+    extra picks assume per-chunk cap widths); the canonical stage count is
+    the max over chunks — extra stages on shorter chunks are identity
+    (their guard bits are zero). Stages ≤ 14 always (the auto router
+    long-row-splits rows past 16k nnz), so guards fit r3's 15 spare bits
+    and the scan_hi plane is never needed.
+  * y-extraction   — window classes are rounded up to powers of two
+    (``class_pow2=True``) so all chunks draw from one canonical class set
+    {1,2,4,...,64}; per-chunk (base, count) pairs ride in SMEM and the
+    kernel's class loops are ``fori_loop`` with dynamic counts (zero-trip
+    for absent classes).
+  * row alignment  — chunk row boundaries are multiples of 128, so the
+    final y assembly is one row-granular gather over the stacked
+    (n_chunks·m_rows_pad, 128) output.
+
+Reference role: this is what lets the single-chip engine cover the
+reference's largest validation matrices (audikw_1/cage15/kmer_V2a class,
+50–120M nnz — ``run.sh:137-191``) rather than only the ≤12M-slot ones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.host import HostCSR
+from .dispatch import register_spmv, register_spmm
+from .clos import _register
+from .clos_route import BLK, LANES, SUB, ClosRoutingError
+
+_CLASS_WS = (1, 2, 4, 8, 16, 32, 64)   # canonical pow2 window classes
+_X_VMEM_BYTES = 4 << 20                # x plane VMEM residency limit
+
+
+@partial(_register,
+         data_fields=("rowidx", "vals", "r1", "r2", "r3", "ysel_w",
+                      "wstart", "border", "clsmeta", "ymap"),
+         meta_fields=("shape", "nnz", "nnz_expanded", "N", "V", "x_rows",
+                      "stages", "W", "mrp"))
+@dataclasses.dataclass(frozen=True)
+class ClosGX:
+    """Stacked uniform CLOSG chunk programs (leading axis = chunk)."""
+
+    rowidx: jnp.ndarray    # (C, S) int32
+    vals: jnp.ndarray      # (C, S, 128)
+    r1: jnp.ndarray        # (C, S, 128) int32 packed (λ in spare bits)
+    r2: jnp.ndarray
+    r3: jnp.ndarray        # spare bits: scan guards
+    ysel_w: jnp.ndarray    # (C, mrp, 128) int32
+    wstart: jnp.ndarray    # (C, mrp) int32
+    border: jnp.ndarray    # (C, nb) int32 (src | dst<<16)
+    clsmeta: jnp.ndarray   # (C, 7, 2) int32 (base, count) per pow2 class
+    ymap: jnp.ndarray      # (R,) int32 rows into the stacked (C·mrp) output
+    shape: Tuple[int, int]
+    nnz: int
+    nnz_expanded: int
+    N: int
+    V: int
+    x_rows: int
+    stages: int            # canonical scan stage count (= max over chunks)
+    W: int                 # canonical max window class
+    mrp: int               # m_rows_pad (uniform)
+
+    format_name = "CLOSGX"
+
+    @property
+    def m(self):
+        return self.shape[0]
+
+    @property
+    def n(self):
+        return self.shape[1]
+
+    @property
+    def n_chunks(self):
+        return int(self.rowidx.shape[0])
+
+    def mem_footprint_bytes(self) -> int:
+        leaves = (self.rowidx, self.vals, self.r1, self.r2, self.r3,
+                  self.ysel_w, self.wstart, self.border, self.clsmeta,
+                  self.ymap)
+        return int(sum(l.size * l.dtype.itemsize for l in leaves))
+
+
+def build_clos_gather_xl(csr: HostCSR, dtype=jnp.float32,
+                         chunk_N: int = 1 << 20,
+                         max_chunks: int = 256) -> ClosGX:
+    """Build stacked uniform chunk programs for a matrix too large for the
+    fused chunked path. Chunk row boundaries are 128-aligned."""
+    from .clos_gather import build_clos_gather, _closg_need, _rows_slice
+
+    m, n = csr.m, csr.n
+    est = _closg_need(csr, 0, m) / (0.88 * chunk_N) + 1
+    if est > max_chunks:
+        raise ClosRoutingError(f"~{est:.0f} chunks exceed the XL cap "
+                               f"({max_chunks})")
+    nnz_per_row = max(csr.nnz / max(m, 1), 1e-9)
+    splits = [0]
+    r0 = 0
+    while r0 < m:
+        r1 = min(m, r0 + max(int(0.8 * chunk_N / nnz_per_row), 128))
+        r1 = r0 + max((r1 - r0) // LANES * LANES, LANES)
+        r1 = min(r1, m)
+        while _closg_need(csr, r0, r1) > chunk_N and r1 - r0 > LANES:
+            r1 = r0 + max((r1 - r0) * 3 // 4 // LANES * LANES, LANES)
+        while r1 < m:
+            step = max((r1 - r0) // 8 // LANES * LANES, LANES)
+            r_try = min(m, r1 + step)
+            if _closg_need(csr, r0, r_try) > chunk_N:
+                break
+            r1 = r_try
+        if _closg_need(csr, r0, r1) > chunk_N:
+            raise ClosRoutingError(
+                f"rows [{r0},{r1}) exceed one XL chunk (a single 128-row "
+                "band needs more than 2^20 slots — split rows first)")
+        splits.append(r1)
+        r0 = r1
+
+    chunks = [build_clos_gather(_rows_slice(csr, splits[i], splits[i + 1]),
+                                dtype=dtype, max_N=chunk_N, force_N=chunk_N,
+                                cap_scan=False, class_pow2=True,
+                                host_arrays=True)
+              for i in range(len(splits) - 1)]
+    if any(c.W == 0 for c in chunks):
+        raise ClosRoutingError("XL chunk fell back to legacy extraction "
+                               "(window > 64 octaves)")
+    if any(len(c.scan_stages) > 14 for c in chunks):
+        raise ClosRoutingError("XL chunk needs > 14 scan stages "
+                               "(row longer than 16k nnz unsplit?)")
+
+    C = len(chunks)
+    stages = max(len(c.scan_stages) for c in chunks)
+    W = max(c.W for c in chunks)
+    mrp = max(c.ysel_w.shape[0] for c in chunks)
+    nb = max(c.border.shape[0] for c in chunks)
+    S = SUB * chunks[0].V
+
+    V = chunks[0].V
+    rowidx = np.zeros((C, S), np.int32)
+    vals = np.zeros((C, S, LANES), np.dtype(dtype))
+    r1 = np.zeros((C, S, LANES), np.int32)
+    r2 = np.zeros((C, SUB * BLK, V // SUB), np.int32)  # middle-stage shape
+    r3 = np.zeros((C, S, LANES), np.int32)
+    ysel_w = np.zeros((C, mrp, LANES), np.int32)
+    # padded groups: empty bit set so a stray batch read yields zeros
+    ysel_w |= (1 << 16)
+    wstart = np.zeros((C, mrp), np.int32)
+    border = np.zeros((C, nb), np.int32)
+    clsmeta = np.zeros((C, len(_CLASS_WS), 2), np.int32)
+    ymaps = []
+    for ci, c in enumerate(chunks):
+        rowidx[ci] = np.asarray(c.rowidx)
+        vals[ci] = np.asarray(c.vals_cs)
+        r1[ci] = np.asarray(c.perm_r1)
+        r2[ci] = np.asarray(c.perm_r2)
+        r3[ci] = np.asarray(c.perm_r3)
+        k = c.ysel_w.shape[0]
+        ysel_w[ci, :k] = np.asarray(c.ysel_w)
+        wstart[ci, :k] = np.asarray(c.wstart)
+        border[ci, : c.border.shape[0]] = np.asarray(c.border)
+        for (w, base, count, accum) in c.yext_classes:
+            if accum:
+                raise ClosRoutingError("XL chunks must not carry accum "
+                                       "classes (capping is disabled)")
+            clsmeta[ci, _CLASS_WS.index(w)] = (base, count)
+        rows_c = (splits[ci + 1] - splits[ci] + LANES - 1) // LANES
+        ymaps.append(ci * mrp + np.arange(rows_c, dtype=np.int64))
+    ymap = np.concatenate(ymaps).astype(np.int32)
+
+    return ClosGX(
+        rowidx=jnp.asarray(rowidx), vals=jnp.asarray(vals),
+        r1=jnp.asarray(r1), r2=jnp.asarray(r2), r3=jnp.asarray(r3),
+        ysel_w=jnp.asarray(ysel_w), wstart=jnp.asarray(wstart),
+        border=jnp.asarray(border), clsmeta=jnp.asarray(clsmeta),
+        ymap=jnp.asarray(ymap),
+        shape=(m, n), nnz=csr.nnz, nnz_expanded=csr.nnz_expanded,
+        N=chunk_N, V=chunk_N // BLK,
+        x_rows=(n + LANES - 1) // LANES,
+        stages=stages, W=W, mrp=mrp)
+
+
+# ---------------------------------------------------------------- execution
+
+def _r3_scan_yext_dyn_kernel(meta, v_ref, p_ref, ysel_ref, wstart_ref,
+                             border_ref, clsmeta_ref, y_ref, scr_ref):
+    """r3 + segmented scan + y extraction with DYNAMIC class counts.
+
+    Same algorithm as clos_pallas._r3_scan_yext_kernel, but the per-class
+    batch counts come from SMEM so one compiled body serves every chunk of
+    an XL scan (zero-trip loops for classes a chunk doesn't have). No
+    scan_hi plane: XL guarantees stages ≤ 14 (spare-bit budget)."""
+    from .clos_pallas import _invreg_ops
+    S, stages, class_ws = meta
+    w3 = p_ref[:]
+    v = _invreg_ops(v_ref[:], w3)
+    from .clos import SPARE_SHIFT
+    from .bfly_pallas import _flat_shift
+    for k in range(stages):
+        guard = ((w3 >> (SPARE_SHIFT + k)) & 1) != 0
+        v = v + jnp.where(guard, _flat_shift(v, 1 << k, S), 0.0)
+    scr_ref[:] = v
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+
+    def make_batch(W):
+        def batch(i, base):
+            b = border_ref[base + i]
+            bs = b & 0xFFFF
+            bd = b >> 16
+            sel = ysel_ref[pl.ds(bs * SUB, SUB), :]
+            lam = sel & 0x7F
+            cid = (sel >> 7) & 0x1FF
+            emptyb = ((sel >> 16) & 1) != 0
+            y8 = jnp.zeros((SUB, LANES), y_ref.dtype)
+            for g in range(SUB):
+                ws = wstart_ref[bs * SUB + g]
+                lam_g = jnp.broadcast_to(lam[g:g + 1, :], (SUB, LANES))
+                cid_g = jnp.broadcast_to(cid[g:g + 1, :], (SUB, LANES))
+                row = jnp.zeros((SUB, LANES), y_ref.dtype)
+                for k in range(W):
+                    win = scr_ref[pl.ds(ws + k * SUB, SUB), :]
+                    t = jnp.take_along_axis(win, lam_g, axis=1)
+                    if W > 1:
+                        r = jnp.take_along_axis(
+                            t, jnp.clip(cid_g - k * SUB, 0, SUB - 1),
+                            axis=0)
+                        row = jnp.where((cid_g >> 3) == k, r, row)
+                    else:
+                        row = jnp.take_along_axis(t, cid_g, axis=0)
+                y8 = jnp.where(iota0 == g, row, y8)
+            out = jnp.where(emptyb, 0.0, y8)
+            y_ref[pl.ds(bd * SUB, SUB), :] = out
+            return base
+        return batch
+
+    for ci, W in enumerate(class_ws):
+        base = clsmeta_ref[ci, 0]
+        count = clsmeta_ref[ci, 1]
+        jax.lax.fori_loop(0, count, make_batch(W), base)
+
+
+def _chunk_pipeline(A: ClosGX, leaves, x2d, interpret):
+    """One chunk's SpMV: DMA-fill gather-mul + Clos middle + fused back end
+    (the same kernels as the ≤12-chunk path, dynamic-class back end)."""
+    from .clos_gather import _gmul_r1_dma_kernel
+    from .clos_pallas import (_invreg_kernel, _call_gridded,
+                              _t_fwd as tp_fwd, _t_bwd as tp_bwd)
+
+    rowidx, vals, r1, r2, r3, ysel_w, wstart, border, clsmeta = leaves
+    S, V = SUB * A.V, A.V
+    blk = lambda i: (i, 0)  # noqa: E731
+    if A.x_rows * LANES * 4 <= _X_VMEM_BYTES:
+        # x plane fits VMEM: in-kernel window fill (DMA-fill front end)
+        _DMA_BLK = 512
+        steps = S // _DMA_BLK if (S % _DMA_BLK == 0 and S > _DMA_BLK) else 1
+        rows = S // steps
+        v = pl.pallas_call(
+            partial(_gmul_r1_dma_kernel, rows),
+            out_shape=jax.ShapeDtypeStruct((S, LANES), vals.dtype),
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, LANES), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, LANES), blk,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((rows, LANES), vals.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(rowidx, r1, vals, x2d)
+    else:
+        # huge n: XLA row-gathers the windows (HBM-bound row DMA)
+        from .clos_gather import _gmul_r1_kernel
+        from .clos_pallas import _call_gridded as _cg
+        wins = x2d.at[rowidx].get(mode="promise_in_bounds")
+        v = _cg(partial(_gmul_r1_kernel, False), wins, r1, vals)
+    v = tp_fwd(v, V)
+    v = _call_gridded(_invreg_kernel, v, r2)
+    v = tp_bwd(v, V)
+    class_ws = tuple(w for w in _CLASS_WS if w <= A.W)
+    y = pl.pallas_call(
+        partial(_r3_scan_yext_dyn_kernel, (S, A.stages, class_ws)),
+        out_shape=jax.ShapeDtypeStruct((A.mrp, LANES), v.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((S, LANES), v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(v, r3, ysel_w, wstart, border, clsmeta)
+    return y
+
+
+@register_spmv("CLOSGX", "pallas")
+def spmv_closgx_pallas(A: ClosGX, x: jnp.ndarray) -> jnp.ndarray:
+    interpret = jax.default_backend() not in ("tpu",)
+    x2d = jnp.pad(x.astype(A.vals.dtype),
+                  (0, A.x_rows * LANES - x.shape[0])).reshape(
+                      A.x_rows, LANES)
+
+    def body(carry, leaves):
+        y = _chunk_pipeline(A, leaves, x2d, interpret)
+        # barrier: keep the scan's (C, mrp, 128) output stacking out of the
+        # back-end pallas call's scoped-vmem fusion (oom at compile without)
+        return carry, jax.lax.optimization_barrier(y)
+
+    _, ys = jax.lax.scan(
+        body, 0, (A.rowidx, A.vals, A.r1, A.r2, A.r3, A.ysel_w,
+                  A.wstart, A.border, A.clsmeta))
+    rows = ys.reshape(A.n_chunks * A.mrp, LANES)
+    y = rows.at[A.ymap].get(mode="promise_in_bounds")
+    return y.reshape(-1)[: A.m]
+
+
+@register_spmv("CLOSGX", "xla")
+def spmv_closgx_xla(A: ClosGX, x: jnp.ndarray) -> jnp.ndarray:
+    """XLA reference of the stacked program (differential-test tier; on
+    TPU this lowers rolls to slice+concat and is never competitive)."""
+    from .clos import LANE2_SHIFT, ROT_SHIFT, SPARE_SHIFT
+
+    x2d = jnp.pad(x.astype(A.vals.dtype),
+                  (0, A.x_rows * LANES - x.shape[0])).reshape(
+                      A.x_rows, LANES)
+
+    def invreg(v, w):
+        S = v.shape[0]
+        t1 = jnp.take_along_axis(v, w & 0x7F, axis=1)
+        rot = (w >> ROT_SHIFT) & 0x7
+        s_in = jnp.arange(S, dtype=jnp.int32)[:, None] % SUB
+        blk0 = jnp.arange(S, dtype=jnp.int32)[:, None] // SUB * SUB
+        src = blk0 + (s_in + rot) % SUB
+        t2 = jnp.take_along_axis(t1, jnp.broadcast_to(src, v.shape), axis=0)
+        return jnp.take_along_axis(t2, (w >> LANE2_SHIFT) & 0x7F, axis=1)
+
+    def body(carry, leaves):
+        rowidx, vals, r1, r2, r3, ysel_w, wstart, border, clsmeta = leaves
+        V = A.V
+        wins = x2d.at[rowidx].get(mode="promise_in_bounds")
+        g = jnp.take_along_axis(wins, (r1 >> SPARE_SHIFT) & 0x7F, axis=1)
+        v = invreg(g * vals, r1)
+        v = jnp.transpose(v.reshape(V, BLK)).reshape(SUB * BLK, V // SUB)
+        v = invreg(v, r2)
+        v = jnp.transpose(v.reshape(BLK, V)).reshape(SUB * V, LANES)
+        v = invreg(v, r3)
+        flat = v.reshape(-1)
+        for k in range(A.stages):
+            guard = ((r3.reshape(-1) >> (SPARE_SHIFT + k)) & 1) != 0
+            sh = jnp.roll(flat, 1 << k)
+            flat = flat + jnp.where(guard, sh, 0.0)
+        v2 = flat.reshape(SUB * V, LANES)
+        # windowed extraction, XLA formulation: per y row, gather its
+        # window rows and pick (cid, lam)
+        sel = ysel_w
+        lam = sel & 0x7F
+        cid = (sel >> 7) & 0x1FF
+        empty = ((sel >> 16) & 1) != 0
+        src_row = jnp.clip(wstart[:, None] + cid, 0, SUB * V - 1)
+        y = v2[src_row, lam]          # per-element (row, lane) pick
+        y = jnp.where(empty, 0.0, y)
+        return carry, y
+
+    _, ys = jax.lax.scan(
+        body, 0, (A.rowidx, A.vals, A.r1, A.r2, A.r3, A.ysel_w,
+                  A.wstart, A.border, A.clsmeta))
+    rows = ys.reshape(A.n_chunks * A.mrp, LANES)
+    y = rows.at[A.ymap].get(mode="promise_in_bounds")
+    return y.reshape(-1)[: A.m]
+
+
+def _spmm_scan_xl(A, X, impl):
+    from . import dispatch
+
+    def body(_, xk):
+        return 0, dispatch.spmv(A, xk, impl=impl)
+
+    _, ys = jax.lax.scan(body, 0, jnp.transpose(X))
+    return jnp.transpose(ys)
+
+
+@register_spmm("CLOSGX", "pallas")
+def spmm_closgx_pallas(A: ClosGX, X: jnp.ndarray) -> jnp.ndarray:
+    return _spmm_scan_xl(A, X, "pallas")
+
+
+@register_spmm("CLOSGX", "xla")
+def spmm_closgx_xla(A: ClosGX, X: jnp.ndarray) -> jnp.ndarray:
+    return _spmm_scan_xl(A, X, "xla")
