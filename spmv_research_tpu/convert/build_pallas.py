@@ -15,6 +15,7 @@ from ..ops.clos import build_clos
 from ..ops.clos_gather import build_clos_gather_auto as build_clos_gather
 from ..ops.clos_route import ClosRoutingError
 from ..ops.routing import RoutingError
+from ..ops.sellr import SellRBuildError, build_sellr
 from ..ops.sellw import SellWBuildError, build_sellw
 from .cache import cached_build
 
@@ -29,6 +30,10 @@ def build_best(host: HostCSR, dtype=jnp.float32) -> dict:
     slot space; BFLY when even the exact-Clos slot space overflows its
     cap."""
     out = {}
+    try:
+        out["SELLR"] = cached_build(build_sellr, host, "sellr", dtype=dtype)
+    except SellRBuildError:
+        pass
     try:
         out["SELLW"] = cached_build(build_sellw, host, "sellw", dtype=dtype)
     except SellWBuildError:

@@ -14,6 +14,8 @@ from . import bsr_mxu   # registers BSRG spmv/spmm + BSR mxu sddmm
 from .bsr_mxu import build_bsrg, BsrG
 from . import sellw     # registers SELLW xla+pallas impls
 from .sellw import build_sellw, SellW
+from . import sellr     # registers SELLR xla+pallas impls
+from .sellr import build_sellr, SellR
 from . import rowsplit  # registers RSPLIT wrapper impls
 from .rowsplit import split_long_rows, RowSplit
 from . import clos_xl   # registers CLOSGX (scan-over-chunks XL engine)
