@@ -12,15 +12,27 @@ unavailable in this zero-egress container).
 
 vs_baseline = value / 0.80 (the BASELINE.md 1-chip target: ≥80% of the
 CSR HBM roofline).
+
+Round-2 rework (VERDICT.md item 2): every candidate is timed through ONE
+dynamic-k differential chain (single compile — round 1 lost ~1000 s to
+three separate chain compiles of the CLOSG pipeline), slow baselines get
+adaptively shortened chains, compile time is reported per candidate, and
+the roofline definition is the CSR-storage one everywhere.
 """
 
 import json
 import sys
+import time
 
 import numpy as np
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
+    import os
     import jax
     import jax.numpy as jnp
 
@@ -31,16 +43,15 @@ def main():
     from spmv_research_tpu.harness import BenchConfig, bench_spmv
     from spmv_research_tpu.utils import roofline as rl
 
-    import time as _t
     # scircuit twin (reference twin-parameter table format)
-    line = "170998 170998 5.6 4.39 normal random 0.297 61.9 0.803 0.633 14 scircuit_twin"
-    t0 = _t.time()
+    line = ("170998 170998 5.6 4.39 normal random 0.297 61.9 0.803 0.633 14 "
+            "scircuit_twin")
+    t_all = time.time()
     host, feats = generate_from_line(line)
-    print(f"# generated twin ({_t.time()-t0:.1f}s)", file=sys.stderr, flush=True)
-    t0 = _t.time()
+    log(f"# generated twin ({time.time()-t_all:.1f}s)")
+    t0 = time.time()
     host, _ = rcm_if_beneficial(host)
-    print(f"# rcm-if-beneficial ({_t.time()-t0:.1f}s)", file=sys.stderr,
-          flush=True)
+    log(f"# rcm-if-beneficial ({time.time()-t0:.1f}s)")
 
     spec = rl.device_spec()
     dtype = jnp.float32
@@ -48,50 +59,49 @@ def main():
                                           np.dtype("float32").itemsize, spec)
 
     cfg = BenchConfig(min_num_loops=64, min_time_s=1.0)
-    candidates = []
-    import time as _time
-    t_budget_start = _time.time()
-    BUDGET_S = float(__import__("os").environ.get("BENCH_BUDGET_S", 400))
+    BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 400))
 
-    fmts = {"CSR": build_csr(host, dtype=dtype)}
+    t0 = time.time()
+    fmts = {"CSR": (build_csr(host, dtype=dtype), 0.0)}
     try:
         from spmv_research_tpu.convert.build_pallas import build_best
-        fmts.update(build_best(host, dtype=dtype))
+        tb = time.time()
+        for name, A in build_best(host, dtype=dtype).items():
+            fmts[name] = (A, time.time() - tb)
+            tb = time.time()
     except ImportError:
         pass
+    log(f"# formats built: {sorted(fmts)} ({time.time()-t0:.1f}s)")
 
-    # candidate order: the TPU-native engine FIRST (it is the headline
-    # number — measuring the slow XLA baseline first risks the budget
-    # expiring on a slow worker before the engine runs), then the CSR/xla
-    # baseline for the speedup column. Engines run pallas only — their xla
-    # lowering hits the serialized-gather path and is never competitive.
+    # candidate order: TPU-native engines FIRST (the headline), then the
+    # CSR/xla baseline for the speedup column. Engines run pallas only —
+    # their xla lowering hits the serialized-gather path.
     order = []
-    for name, A in fmts.items():
+    for name, (A, tconv) in fmts.items():
         for impl in available_impls("spmv", A.format_name):
-            if name == "CSR" and impl != "xla":
+            if (name == "CSR") != (impl == "xla"):
                 continue
-            if name != "CSR" and impl != "pallas":
-                continue
-            order.append((name, A, impl))
+            order.append((name, A, impl, tconv))
     order.sort(key=lambda t: t[0] == "CSR")
 
-    for name, A, impl in order:
-        print(f"# starting {name}/{impl} (elapsed {_time.time()-t_budget_start:.0f}s)",
-              file=sys.stderr, flush=True)
-        if candidates and _time.time() - t_budget_start > BUDGET_S:
-            print(f"# budget exceeded, skipping {name}/{impl}", file=sys.stderr)
+    candidates = []
+    for name, A, impl, tconv in order:
+        elapsed = time.time() - t_all
+        log(f"# starting {name}/{impl} (elapsed {elapsed:.0f}s)")
+        if candidates and elapsed > BUDGET_S:
+            log(f"# budget exceeded, skipping {name}/{impl}")
             continue
         try:
             r = bench_spmv(host, A, config=cfg, impl=impl,
-                           matrix_name="scircuit_twin")
+                           matrix_name="scircuit_twin", time_convert=tconv)
         except Exception as e:
-            print(f"# {name}/{impl} failed: {e}", file=sys.stderr)
+            log(f"# {name}/{impl} failed: {type(e).__name__}: {e}")
             continue
         candidates.append((r.nnz_per_s, name, impl, r))
-        print(f"# {name}/{impl}: {r.nnz_per_s/1e9:.3f} Gnnz/s "
-              f"median={r.time_iter_median*1e6:.0f}us mape={r.metrics.mape:.2e} "
-              f"(elapsed {_time.time()-t_budget_start:.0f}s)",
-              file=sys.stderr, flush=True)
+        log(f"# {name}/{impl}: {r.nnz_per_s/1e9:.3f} Gnnz/s "
+            f"median={r.time_iter_median*1e6:.0f}us mape={r.metrics.mape:.2e} "
+            f"compile={r.time_compile:.1f}s convert={tconv:.1f}s "
+            f"(elapsed {time.time()-t_all:.0f}s)")
 
     if not candidates:
         print(json.dumps({"metric": "csr_spmv_roofline_frac", "value": 0.0,
@@ -100,6 +110,8 @@ def main():
 
     candidates.sort(reverse=True, key=lambda t: t[0])
     nnz_s, name, impl, r = candidates[0]
+    base = [c for c in candidates if c[1] == "CSR"]
+    speedup = round(nnz_s / base[0][0], 2) if base else None
     frac = nnz_s / sol_nnz_s
     print(json.dumps({
         "metric": "csr_spmv_roofline_frac",
@@ -114,8 +126,10 @@ def main():
             "roofline_nnz_per_s": round(sol_nnz_s / 1e9, 4),
             "device": spec.kind,
             "mape": r.metrics.mape,
-            "speedup_vs_xla_tpu_baseline": round(
-                nnz_s / min(c[0] for c in candidates), 2),
+            "time_compile_s": round(r.time_compile, 1),
+            "time_convert_s": round(r.time_convert, 1),
+            "total_runtime_s": round(time.time() - t_all, 1),
+            "speedup_vs_xla_tpu_baseline": speedup,
             "candidates": {
                 f"{n}/{i}": round(s / 1e9, 4) for (s, n, i, _) in candidates
             },

@@ -356,8 +356,11 @@ int32_t euler_edge_color(const int64_t* left, const int64_t* right,
   const int64_t kmax = (1LL << (levels > 0 ? levels - 1 : 0))
                        * std::max(nl, nr);
   // int32 internals keep the latency-bound random-access passes in half
-  // the memory traffic; the guards force the numpy fallback outside range
-  if (kmax > (1LL << 28) || E > (1LL << 30)) return -1;
+  // the memory traffic; the guards force the numpy fallback outside range.
+  // kmax bounds the counting-sort key space: 2^26 caps the transient cnt
+  // vector at 256 MB of int32 (2^28 risked a silent ~1 GB host alloc on
+  // memory-constrained workers before the numpy fallback could engage)
+  if (kmax > (1LL << 26) || E > (1LL << 30)) return -1;
   const int32_t n = (int32_t)E;
   std::vector<int32_t> pl(n), pr(n), order(n), cnt;
   std::vector<int32_t> lv(n), rv(n);

@@ -64,6 +64,7 @@ class BenchResult:
     nnz: int
     symmetric: bool
     time_convert: float = 0.0
+    time_compile: float = 0.0
 
 
 REAL_LABELS = (
@@ -83,7 +84,7 @@ SYNTH_LABELS = (
 )
 
 # TPU-native extension columns appended to either schema
-TPU_EXTRA_LABELS = ",achieved_GBps,roofline_frac,time_convert"
+TPU_EXTRA_LABELS = ",achieved_GBps,roofline_frac,time_convert,time_compile"
 
 
 def csv_labels(synthetic: bool = False, tpu_extra: bool = True) -> str:
@@ -124,30 +125,42 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
     metrics = check_accuracy(host, x, y, value_dtype=np.dtype(cfg.dtype))
 
     # --- timing (differential chains; see module docstring) ---
-    from ..utils.timing import make_chain, _sync
+    from ..utils.timing import make_chain_dyn, _sync
 
     A_t = _scale_for_iteration(host, A) if A.m == A.n else A
     fn = lambda v, fmt: spmv_dispatch(fmt, v, impl=impl)
+    # One dynamic-k chain serves every length: ONE compile per candidate
+    # (compile time of multi-kernel pipelines dominated the round-1 driver
+    # bench), and k_hi adapts to the measured per-iteration cost so slow
+    # baselines don't burn minutes per chain call.
+    chain = make_chain_dyn(fn)
+    k_lo = 8
+    k_hi = k_lo + max(cfg.inner_iters or 256, cfg.min_num_loops)
+    t0 = time.perf_counter()
+    _sync(chain(k_lo, xd, A_t))  # compile + warm
+    time_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(chain(k_hi, xd, A_t))
+    t_probe = time.perf_counter() - t0
+    if t_probe > 2.0 * cfg.min_time_s:
+        # slow kernel: shrink the gap so one hi call ~ min_time_s
+        k_hi = k_lo + max(int((k_hi - k_lo) * cfg.min_time_s / t_probe),
+                          cfg.min_num_loops // 4, 8)
+        _sync(chain(k_hi, xd, A_t))
+
     # Long chains + independent medians: pairing a short `lo` right before
     # each `hi` systematically deflates the difference (the first call after
     # a host-side gap absorbs relay warm-up), so the chain gap must dwarf the
     # per-call overhead noise (~±3 ms on this stack) and lo/hi are medianed
     # separately before differencing.
-    k_lo = 8
-    k_hi = k_lo + max(cfg.inner_iters or 256, cfg.min_num_loops)
-    lo = make_chain(fn, k_lo)
-    hi = make_chain(fn, k_hi)
-    _sync(lo(xd, A_t))  # compile + warm
-    _sync(hi(xd, A_t))
-
     t_start = time.perf_counter()
     lo_times, hi_times, samples = [], [], []
     while True:
         t0 = time.perf_counter()
-        _sync(lo(xd, A_t))
+        _sync(chain(k_lo, xd, A_t))
         lo_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _sync(hi(xd, A_t))
+        _sync(chain(k_hi, xd, A_t))
         hi_times.append(time.perf_counter() - t0)
         samples.append((hi_times[-1] - lo_times[-1]) / (k_hi - k_lo))
         elapsed = time.perf_counter() - t_start
@@ -172,7 +185,12 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
     csr_fp = host.mem_footprint_bytes(value_bytes=dtype.itemsize)
     fmt_fp = A.mem_footprint_bytes()
     spec = rl.device_spec()
-    sol_t = rl.spmv_roofline_time(A, spec)
+    # ONE roofline definition everywhere: the CSR-storage speed-of-light
+    # (bench.py, sweep CSVs and BENCH_r*.json all report this fraction);
+    # achieved_GBps stays on the *format* footprint (what the kernel
+    # actually streams).
+    sol_nnz_s = rl.csr_roofline_nnz_per_s(host.nnz, host.m, host.n,
+                                          dtype.itemsize, spec)
     achieved_gbps = rl.spmv_bytes(A) / t_med / 1e9
 
     return BenchResult(
@@ -191,13 +209,14 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
         mem_footprint_mb=fmt_fp / 2**20,
         mem_ratio=fmt_fp / csr_fp,
         achieved_gbps=achieved_gbps,
-        roofline_frac=sol_t / t_med,
+        roofline_frac=(host.nnz_expanded / t_med) / sol_nnz_s,
         metrics=metrics,
         m=host.m,
         n=host.n,
         nnz=host.nnz,
         symmetric=host.symmetric_storage,
         time_convert=time_convert,
+        time_compile=time_compile,
     )
 
 
@@ -216,7 +235,8 @@ def csv_row_real(r: BenchResult, tpu_extra: bool = True) -> str:
     ]
     row = ",".join(str(v) for v in f)
     if tpu_extra:
-        row += f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},{r.time_convert:.4f}"
+        row += (f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},"
+                f"{r.time_convert:.4f},{r.time_compile:.3f}")
     return row
 
 
@@ -245,7 +265,8 @@ def csv_row_synthetic(r: BenchResult, params, feats, tpu_extra: bool = True) -> 
     ]
     row = ",".join(str(v) for v in f)
     if tpu_extra:
-        row += f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},{r.time_convert:.4f}"
+        row += (f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},"
+                f"{r.time_convert:.4f},{r.time_compile:.3f}")
     return row
 
 

@@ -774,7 +774,8 @@ def spmv_closg_pallas(A, x: jnp.ndarray) -> jnp.ndarray:
     S = SUB * V
     if A.fused_win:
         v = _gmul_win(A, x)
-    elif not A.use_vlut and A.x_rows * LANES * 4 <= (4 << 20):
+    elif (not A.use_vlut and A.x_rows * LANES * A.vals_cs.dtype.itemsize
+          <= (4 << 20)):
         v = _gmul_dma(A, x)    # x plane fits VMEM: fill windows in-kernel
     else:
         wins = _windows(A, x)

@@ -59,6 +59,9 @@ def cg(A, b: jnp.ndarray, *, inv_diag: Optional[jnp.ndarray] = None,
     """Preconditioned CG. ``precond_fn(r) = M⁻¹ r`` (must be SPD); defaults
     to Jacobi via ``inv_diag``. Returns (x, info dict of device scalars)."""
     mv = spmv_fn or (lambda v: spmv_dispatch(A, v, impl=impl))
+    if precond_fn is None and inv_diag is None:
+        raise ValueError("provide inv_diag (Jacobi) or precond_fn "
+                         "(identity: precond_fn=lambda r: r)")
     mz = precond_fn or (lambda r_: inv_diag * r_)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -126,6 +129,9 @@ def bicgstab(A, b: jnp.ndarray, *, inv_diag: Optional[jnp.ndarray] = None,
     """Preconditioned BiCGStab (reference ``bench_bicg.cpp:150``);
     ``precond_fn(r) = M⁻¹ r`` defaults to Jacobi via ``inv_diag``."""
     mv = spmv_fn or (lambda v: spmv_dispatch(A, v, impl=impl))
+    if precond_fn is None and inv_diag is None:
+        raise ValueError("provide inv_diag (Jacobi) or precond_fn "
+                         "(identity: precond_fn=lambda r: r)")
     mz = precond_fn or (lambda r_: inv_diag * r_)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -206,14 +212,32 @@ def _ilu0_precond(host_csr, dtype):
     return lambda r: sptrsv(Us, sptrsv(Ls, r))
 
 
-def solve_cg_ic0(host_csr, A, b, dtype=jnp.float32, **kw):
+def make_precond(host_csr, precond: str, dtype=jnp.float32):
+    """Build the preconditioner apply-fn ONCE (host-side factorization +
+    level schedules are one-time setup — benchmarks must exclude them from
+    the timed solve and report setup separately)."""
+    if precond == "jacobi":
+        inv_diag = _jacobi_inv_diag(host_csr, dtype)
+        return lambda r: inv_diag * r
+    if precond == "ic0":
+        return _ic0_precond(host_csr, dtype)
+    if precond == "ilu0":
+        return _ilu0_precond(host_csr, dtype)
+    raise ValueError(f"unknown preconditioner {precond!r}")
+
+
+def solve_cg_ic0(host_csr, A, b, dtype=jnp.float32, precond_fn=None, **kw):
     """IC(0)-preconditioned CG (SPD systems): M = L·Lᵀ on A's lower
-    pattern, applied as two level-scheduled trisolves per iteration."""
+    pattern, applied as two level-scheduled trisolves per iteration.
+    Pass a prebuilt ``precond_fn`` (from :func:`make_precond`) to exclude
+    the one-time factorization from timed regions."""
     return cg(A, jnp.asarray(b, dtype=dtype),
-              precond_fn=_ic0_precond(host_csr, dtype), **kw)
+              precond_fn=precond_fn or _ic0_precond(host_csr, dtype), **kw)
 
 
-def solve_bicgstab_ilu0(host_csr, A, b, dtype=jnp.float32, **kw):
+def solve_bicgstab_ilu0(host_csr, A, b, dtype=jnp.float32, precond_fn=None,
+                        **kw):
     """ILU(0)-preconditioned BiCGStab (general square systems)."""
     return bicgstab(A, jnp.asarray(b, dtype=dtype),
-                    precond_fn=_ilu0_precond(host_csr, dtype), **kw)
+                    precond_fn=precond_fn or _ilu0_precond(host_csr, dtype),
+                    **kw)

@@ -30,16 +30,18 @@ def _sync(x) -> float:
     return float(np.asarray(x))
 
 
-def make_chain(fn: Callable, k: int):
+def make_chain_dyn(fn: Callable):
     """Jitted chain of k dependent applications of fn(x, *rest) -> array,
     ending in a scalar sum (the sync anchor). fn's output is folded back into
     x with a full-array dependency so no iteration can be dead-coded.
 
-    Uses ``lax.fori_loop`` so fn's body compiles once regardless of k (a
-    Python unroll of a large kernel makes compile time explode)."""
+    ``k`` is a *dynamic* (traced) argument: one compile serves every chain
+    length — the lo chain, the hi chain, and adaptive re-lengthening all hit
+    the same executable (the driver bench's round-1 headline lost ~1000 s to
+    separate lo/hi/accuracy compiles of a multi-kernel pipeline)."""
 
-    @partial(jax.jit, static_argnums=())
-    def chained(x, *rest):
+    @jax.jit
+    def chained(k, x, *rest):
         def body(_, v):
             r = fn(v, *rest)
             r = r.astype(v.dtype)
@@ -47,47 +49,46 @@ def make_chain(fn: Callable, k: int):
                 return v + r * 1e-30
             pad = jnp.resize(r.reshape(-1), v.shape)
             return v + pad * 1e-30
-        x = jax.lax.fori_loop(0, k, body, x)
+        x = jax.lax.fori_loop(0, k, body, x, unroll=False)
         return jnp.sum(x[:8])
 
     return chained
 
 
+def make_chain(fn: Callable, k: int):
+    """Fixed-k wrapper over :func:`make_chain_dyn` (compat shim; prefer the
+    dynamic form so lo/hi share one compile)."""
+    chained = make_chain_dyn(fn)
+
+    def run(x, *rest):
+        return chained(k, x, *rest)
+
+    return run
+
+
 def measure_op(fn: Callable, *args, k_lo: int = 4, k_hi: int = 36,
                reps: int = 5, warmup: int = 2) -> float:
     """Median differential per-iteration time of fn(*args) in seconds."""
-    lo = make_chain(fn, k_lo)
-    hi = make_chain(fn, k_hi)
-    for _ in range(warmup):
-        _sync(lo(*args))
-        _sync(hi(*args))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(lo(*args))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(hi(*args))
-        t_hi = time.perf_counter() - t0
-        ts.append((t_hi - t_lo) / (k_hi - k_lo))
-    return float(np.median(ts))
+    return float(np.median(measure_op_samples(
+        fn, *args, k_lo=k_lo, k_hi=k_hi, reps=reps, warmup=warmup)))
 
 
 def measure_op_samples(fn: Callable, *args, k_lo: int = 4, k_hi: int = 36,
                        reps: int = 9, warmup: int = 2) -> np.ndarray:
-    """All differential samples (for min/median/max protocol columns)."""
-    lo = make_chain(fn, k_lo)
-    hi = make_chain(fn, k_hi)
+    """All differential samples (for min/median/max protocol columns).
+
+    One dynamic-k chain serves both lengths (single compile)."""
+    chain = make_chain_dyn(fn)
     for _ in range(warmup):
-        _sync(lo(*args))
-        _sync(hi(*args))
+        _sync(chain(k_lo, *args))
+        _sync(chain(k_hi, *args))
     out = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _sync(lo(*args))
+        _sync(chain(k_lo, *args))
         t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _sync(hi(*args))
+        _sync(chain(k_hi, *args))
         t_hi = time.perf_counter() - t0
         out.append((t_hi - t_lo) / (k_hi - k_lo))
     return np.array(out)
