@@ -453,37 +453,44 @@ def _sellr_kernel(stages, rolls, smeta_ref, word_ref, val_ref,
     jax.lax.fori_loop(0, NB, acc, 0, unroll=True)
 
 
-def spmv_sellr_pallas_2d(A: SellR, x2d: jnp.ndarray) -> jnp.ndarray:
-    """Padded-layout entry: x2d (x_rows, 128) -> y2d (y_rows, 128).
-
-    The natural kernel interface — callers that keep vectors in the padded
-    plane layout (CG iterations, the bench chain) skip the per-call
-    pad/slice copies of the (n,) wrapper."""
-    nch = A.word.shape[0] // SUB
+def sellr_pallas_raw(word, vals, smeta, x2d, *, stages, rolls, x_rows,
+                     y_rows):
+    """Raw-array kernel invocation (used by the SPMD distributed layer,
+    where programs travel as stacked plain arrays through shard_map)."""
+    nch = word.shape[0] // SUB
     nsteps = nch // NB
     interpret = jax.default_backend() not in ("tpu",)
     blk = lambda i: (i, 0)  # noqa: E731
     vspec = pl.BlockSpec((NB * SUB, LANES), blk, memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((SMEM_BLK,), lambda i: (i,),
                          memory_space=pltpu.SMEM)
-    xspec = pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
+    xspec = pl.BlockSpec((x_rows, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    yspec = pl.BlockSpec((A.y_rows, LANES), lambda i: (0, 0),
+    yspec = pl.BlockSpec((y_rows, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    y2 = pl.pallas_call(
-        partial(_sellr_kernel, A.stages, A.rolls),
-        out_shape=jax.ShapeDtypeStruct((A.y_rows, LANES), A.vals.dtype),
+    return pl.pallas_call(
+        partial(_sellr_kernel, stages, rolls),
+        out_shape=jax.ShapeDtypeStruct((y_rows, LANES), vals.dtype),
         grid=(nsteps,),
         in_specs=[sspec, vspec, vspec, xspec],
         out_specs=yspec,
-        scratch_shapes=[pltpu.VMEM((NB * SUB, LANES), A.vals.dtype),
-                        pltpu.VMEM((NB * SUB, LANES), A.vals.dtype),
-                        pltpu.VMEM((SUB, LANES), A.vals.dtype)],
+        scratch_shapes=[pltpu.VMEM((NB * SUB, LANES), vals.dtype),
+                        pltpu.VMEM((NB * SUB, LANES), vals.dtype),
+                        pltpu.VMEM((SUB, LANES), vals.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(A.smeta, A.word, A.vals, x2d)
-    return y2
+    )(smeta, word, vals, x2d)
+
+
+def spmv_sellr_pallas_2d(A: SellR, x2d: jnp.ndarray) -> jnp.ndarray:
+    """Padded-layout entry: x2d (x_rows, 128) -> y2d (y_rows, 128).
+
+    The natural kernel interface — callers that keep vectors in the padded
+    plane layout (CG iterations, the bench chain) skip the per-call
+    pad/slice copies of the (n,) wrapper."""
+    return sellr_pallas_raw(A.word, A.vals, A.smeta, x2d, stages=A.stages,
+                            rolls=A.rolls, x_rows=A.x_rows, y_rows=A.y_rows)
 
 
 @register_spmv("SELLR", "pallas")
