@@ -268,7 +268,7 @@ def _chunk_pipeline(A: ClosGX, leaves, x2d, interpret):
     rowidx, vals, r1, r2, r3, ysel_w, wstart, border, clsmeta = leaves
     S, V = SUB * A.V, A.V
     blk = lambda i: (i, 0)  # noqa: E731
-    if A.x_rows * LANES * A.vals_cs.dtype.itemsize <= _X_VMEM_BYTES:
+    if A.x_rows * LANES * A.vals.dtype.itemsize <= _X_VMEM_BYTES:
         # x plane fits VMEM: in-kernel window fill (DMA-fill front end)
         _DMA_BLK = 512
         steps = S // _DMA_BLK if (S % _DMA_BLK == 0 and S > _DMA_BLK) else 1
