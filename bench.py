@@ -62,13 +62,12 @@ def main():
     BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 400))
 
     t0 = time.time()
-    fmts = {"CSR": (build_csr(host, dtype=dtype), 0.0)}
+    fmts = {"CSR": (build_csr(host, dtype=dtype),
+                    {"build_s": 0.0, "cold_build_s": 0.0,
+                     "from_cache": False})}
     try:
         from spmv_research_tpu.convert.build_pallas import build_best
-        tb = time.time()
-        for name, A in build_best(host, dtype=dtype).items():
-            fmts[name] = (A, time.time() - tb)
-            tb = time.time()
+        fmts.update(build_best(host, dtype=dtype))
     except ImportError:
         pass
     log(f"# formats built: {sorted(fmts)} ({time.time()-t0:.1f}s)")
@@ -77,15 +76,15 @@ def main():
     # CSR/xla baseline for the speedup column. Engines run pallas only —
     # their xla lowering hits the serialized-gather path.
     order = []
-    for name, (A, tconv) in fmts.items():
+    for name, (A, info) in fmts.items():
         for impl in available_impls("spmv", A.format_name):
             if (name == "CSR") != (impl == "xla"):
                 continue
-            order.append((name, A, impl, tconv))
+            order.append((name, A, impl, info))
     order.sort(key=lambda t: t[0] == "CSR")
 
     candidates = []
-    for name, A, impl, tconv in order:
+    for name, A, impl, info in order:
         elapsed = time.time() - t_all
         log(f"# starting {name}/{impl} (elapsed {elapsed:.0f}s)")
         if candidates and elapsed > BUDGET_S:
@@ -93,14 +92,17 @@ def main():
             continue
         try:
             r = bench_spmv(host, A, config=cfg, impl=impl,
-                           matrix_name="scircuit_twin", time_convert=tconv)
+                           matrix_name="scircuit_twin",
+                           time_convert=info["build_s"],
+                           time_convert_cold=info["cold_build_s"])
         except Exception as e:
             log(f"# {name}/{impl} failed: {type(e).__name__}: {e}")
             continue
         candidates.append((r.nnz_per_s, name, impl, r))
         log(f"# {name}/{impl}: {r.nnz_per_s/1e9:.3f} Gnnz/s "
             f"median={r.time_iter_median*1e6:.0f}us mape={r.metrics.mape:.2e} "
-            f"compile={r.time_compile:.1f}s convert={tconv:.1f}s "
+            f"compile={r.time_compile:.1f}s convert={info['build_s']:.1f}s "
+            f"convert_cold={info['cold_build_s']:.1f}s "
             f"(elapsed {time.time()-t_all:.0f}s)")
 
     if not candidates:
@@ -128,6 +130,7 @@ def main():
             "mape": r.metrics.mape,
             "time_compile_s": round(r.time_compile, 1),
             "time_convert_s": round(r.time_convert, 1),
+            "time_convert_cold_s": round(r.time_convert_cold, 1),
             "total_runtime_s": round(time.time() - t_all, 1),
             "speedup_vs_xla_tpu_baseline": speedup,
             "candidates": {

@@ -65,6 +65,7 @@ class BenchResult:
     symmetric: bool
     time_convert: float = 0.0
     time_compile: float = 0.0
+    time_convert_cold: float = 0.0
 
 
 REAL_LABELS = (
@@ -110,7 +111,8 @@ def _scale_for_iteration(host: HostCSR, A):
 def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
                impl: Optional[str] = None, matrix_name: str = "matrix",
                x: Optional[np.ndarray] = None,
-               time_convert: float = 0.0) -> BenchResult:
+               time_convert: float = 0.0,
+               time_convert_cold: Optional[float] = None) -> BenchResult:
     """Run the full protocol for one (matrix, format) pair."""
     cfg = config or BenchConfig()
     dtype = jnp.dtype(cfg.dtype)
@@ -188,7 +190,11 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
     # ONE roofline definition everywhere: the CSR-storage speed-of-light
     # (bench.py, sweep CSVs and BENCH_r*.json all report this fraction);
     # achieved_GBps stays on the *format* footprint (what the kernel
-    # actually streams).
+    # actually streams). Numerator uses STORED nnz: for symmetric-storage
+    # matrices nnz_expanded ≈ 2·nnz while the denominator's bytes are the
+    # stored-CSR stream, so an expanded-nnz rate would inflate the
+    # fraction ~2x (ADVICE r2 #3). gflops keeps the reference's
+    # expanded-nnz definition (bench_spmv.cpp:404).
     sol_nnz_s = rl.csr_roofline_nnz_per_s(host.nnz, host.m, host.n,
                                           dtype.itemsize, spec)
     achieved_gbps = rl.spmv_bytes(A) / t_med / 1e9
@@ -209,7 +215,7 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
         mem_footprint_mb=fmt_fp / 2**20,
         mem_ratio=fmt_fp / csr_fp,
         achieved_gbps=achieved_gbps,
-        roofline_frac=(host.nnz_expanded / t_med) / sol_nnz_s,
+        roofline_frac=(host.nnz / t_med) / sol_nnz_s,
         metrics=metrics,
         m=host.m,
         n=host.n,
@@ -217,6 +223,8 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
         symmetric=host.symmetric_storage,
         time_convert=time_convert,
         time_compile=time_compile,
+        time_convert_cold=(time_convert if time_convert_cold is None
+                           else time_convert_cold),
     )
 
 

@@ -69,6 +69,10 @@ from ..ops.bsr_mxu import build_bsrg as _build_bsrg
 FORMAT_BUILDERS["bsrg"] = lambda h, dtype: _build_bsrg(h, dtype=dtype)
 from ..ops.sellw import build_sellw as _build_sellw
 FORMAT_BUILDERS["sellw"] = _cached(_build_sellw, "sellw")
+from ..ops.sellr import build_sellr as _build_sellr
+FORMAT_BUILDERS["sellr"] = _cached(_build_sellr, "sellr")
+from ..ops.btile import build_btile as _build_btile
+FORMAT_BUILDERS["btile"] = _cached(_build_btile, "btile")
 
 
 def load_matrix(spec: str, cfg: BenchConfig):

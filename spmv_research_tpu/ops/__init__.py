@@ -20,5 +20,7 @@ from . import rowsplit  # registers RSPLIT wrapper impls
 from .rowsplit import split_long_rows, RowSplit
 from . import clos_xl   # registers CLOSGX (scan-over-chunks XL engine)
 from .clos_xl import build_clos_gather_xl, ClosGX
+from . import btile     # registers BTILE MXU spmm/sddmm impls
+from .btile import build_btile, BTile
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
 from .value_compress import CSRLUT, build_csr_lut

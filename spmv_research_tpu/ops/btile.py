@@ -60,16 +60,20 @@ class BTileBuildError(ValueError):
     pass
 
 
-@partial(_register, data_fields=("tiles", "tgt", "step_g", "step_cb",
-                                 "tile_rb", "tile_cb"),
+@partial(_register, data_fields=("tiles", "patt", "tgt", "step_g", "step_cb",
+                                 "step_t0", "step_nt", "tile_rb", "tile_cb"),
          meta_fields=("shape", "nnz", "nnz_expanded", "ntiles", "nsteps",
                       "tg", "ngroups", "ncb"))
 @dataclasses.dataclass(frozen=True)
 class BTile:
     tiles: jnp.ndarray    # (nsteps*TG*8, 128) fp32 dense tile slabs
+    patt: jnp.ndarray     # (nsteps*TG*8, 128) int8 structural pattern (1 at
+                          # stored nnz, incl. explicit zeros — ADVICE r2 #4)
     tgt: jnp.ndarray      # (nsteps, TG*8) int32 local target row in band
     step_g: jnp.ndarray   # (nsteps,) int32 band of each step
     step_cb: jnp.ndarray  # (nsteps,) int32 column block of each step
+    step_t0: jnp.ndarray  # (nsteps,) int32 first tile id of the step
+    step_nt: jnp.ndarray  # (nsteps,) int32 live tile count of the step
     tile_rb: jnp.ndarray  # (ntiles,) int32 global rowblock (XLA/gold path)
     tile_cb: jnp.ndarray  # (ntiles,) int32 global colblock (XLA/gold path)
     shape: Tuple[int, int]
@@ -93,8 +97,8 @@ class BTile:
 
     def mem_footprint_bytes(self) -> int:
         return int(self.tiles.size * self.tiles.dtype.itemsize
-                   + self.tgt.size * 4 + self.step_g.size * 8
-                   + self.tile_rb.size * 8)
+                   + self.patt.size + self.tgt.size * 4
+                   + self.step_g.size * 16 + self.tile_rb.size * 8)
 
 
 def build_btile(csr: HostCSR, dtype=jnp.float32, tg: int = 32,
@@ -135,10 +139,13 @@ def build_btile(csr: HostCSR, dtype=jnp.float32, tg: int = 32,
     tile_cb = cb[order][t_first]
     tile_g = g[order][t_first]
 
-    # dense tile slabs
+    # dense tile slabs + structural pattern (explicit-zero values must not
+    # change tile liveness or the SDDMM mask — ADVICE r2 #4)
     tiles = np.zeros((ntiles, TILE_R, TILE_C), dt)
     tiles[tile_of_sorted, rows[order] & 7, ja[order] & 127] = \
         csr.a[order].astype(dt)
+    patt = np.zeros((ntiles, TILE_R, TILE_C), np.int8)
+    patt[tile_of_sorted, rows[order] & 7, ja[order] & 127] = 1
 
     # steps: split each (g, cb) run into ceil(run/TG) steps
     run_key = tile_g * ncb + tile_cb
@@ -167,12 +174,17 @@ def build_btile(csr: HostCSR, dtype=jnp.float32, tg: int = 32,
 
     nsteps = len(step_tiles_l)
     tiles_p = np.zeros((nsteps, tg, TILE_R, TILE_C), dt)
+    patt_p = np.zeros((nsteps, tg, TILE_R, TILE_C), np.int8)
     tgt = np.zeros((nsteps, tg * TILE_R), np.int32)
+    step_t0 = np.zeros(nsteps, np.int32)
+    step_nt = np.zeros(nsteps, np.int32)
     for i, (t0, t1) in enumerate(step_tiles_l):
         k = t1 - t0
+        step_t0[i], step_nt[i] = t0, k
         if k == 0:
             continue
         tiles_p[i, :k] = tiles[t0:t1]
+        patt_p[i, :k] = patt[t0:t1]
         loc = (tile_rb[t0:t1] - step_g_a[i] * RB_PER_BAND).astype(np.int32)
         tgt[i, : k * TILE_R] = (np.repeat(loc, TILE_R) * TILE_R
                                 + np.tile(np.arange(TILE_R,
@@ -180,9 +192,12 @@ def build_btile(csr: HostCSR, dtype=jnp.float32, tg: int = 32,
 
     return BTile(
         tiles=jnp.asarray(tiles_p.reshape(nsteps * tg * TILE_R, TILE_C)),
+        patt=jnp.asarray(patt_p.reshape(nsteps * tg * TILE_R, TILE_C)),
         tgt=jnp.asarray(tgt),
         step_g=jnp.asarray(step_g_a),
         step_cb=jnp.asarray(step_cb_a),
+        step_t0=jnp.asarray(step_t0),
+        step_nt=jnp.asarray(step_nt),
         tile_rb=jnp.asarray(tile_rb.astype(np.int32)),
         tile_cb=jnp.asarray(tile_cb.astype(np.int32)),
         shape=(m, n), nnz=nnz, nnz_expanded=csr.nnz_expanded,
@@ -322,7 +337,7 @@ def sddmm_btile_pallas_padded(A: BTile, ap: jnp.ndarray,
     k = ap.shape[1]
     tg = A.tg
     interpret = jax.default_backend() not in ("tpu",)
-    mask = (A.tiles != 0).astype(jnp.float32)
+    mask = (A.patt != 0).astype(jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(A.nsteps,),
@@ -379,7 +394,7 @@ def sddmm_btile_xla(A: BTile, Am: jnp.ndarray, Bm: jnp.ndarray
         "sik,sjk->sij",
         a_rows.reshape(A.nsteps, A.tg * TILE_R, k), bb,
         precision=jax.lax.Precision.HIGHEST)
-    mask = (A.tiles != 0).astype(jnp.float32)
+    mask = (A.patt != 0).astype(jnp.float32)
     return prod.reshape(A.nsteps * A.tg * TILE_R, TILE_C) * mask
 
 
@@ -401,14 +416,19 @@ def sddmm_slab_to_csr_values(A: BTile, slab: jnp.ndarray,
     first = np.ones(csr.nnz, bool)
     first[1:] = key_s[1:] != key_s[:-1]
     tile_of = np.cumsum(first) - 1
-    # tile -> (step, slot): reconstruct from tgt/step arrays
-    tgt = np.asarray(A.tgt).reshape(A.nsteps, A.tg, TILE_R)[:, :, 0]
-    sg = np.asarray(A.step_g)
-    live = np.asarray(
-        (np.asarray(A.tiles).reshape(A.nsteps, A.tg, TILE_R, TILE_C) != 0)
-        .any(axis=(2, 3)))
-    step_of_tile = np.repeat(np.arange(A.nsteps), A.tg)[live.reshape(-1)]
-    slot_of_tile = np.tile(np.arange(A.tg), A.nsteps)[live.reshape(-1)]
+    # tile -> (step, slot): structural, from the build's recorded per-step
+    # tile ranges (value-inferred liveness broke on explicit zeros —
+    # ADVICE r2 #4)
+    t0s = np.asarray(A.step_t0, np.int64)
+    nts = np.asarray(A.step_nt, np.int64)
+    tile_ids = (np.repeat(t0s, nts)
+                + (np.arange(int(nts.sum())) - np.repeat(
+                    np.cumsum(nts) - nts, nts)))
+    step_of_tile = np.empty(A.ntiles, np.int64)
+    slot_of_tile = np.empty(A.ntiles, np.int64)
+    step_of_tile[tile_ids] = np.repeat(np.arange(A.nsteps), nts)
+    slot_of_tile[tile_ids] = (np.arange(int(nts.sum()))
+                              - np.repeat(np.cumsum(nts) - nts, nts))
     out = np.empty(csr.nnz)
     out[order] = sl[step_of_tile[tile_of], slot_of_tile[tile_of],
                     (rows[order] & 7), (ja[order] & 127)]
