@@ -73,6 +73,8 @@ from ..ops.sellr import build_sellr as _build_sellr
 FORMAT_BUILDERS["sellr"] = _cached(_build_sellr, "sellr")
 from ..ops.btile import build_btile as _build_btile
 FORMAT_BUILDERS["btile"] = _cached(_build_btile, "btile")
+from ..ops.compensated import build_csrds as _build_csrds
+FORMAT_BUILDERS["csrds"] = lambda h, dtype: _build_csrds(h)
 
 
 def load_matrix(spec: str, cfg: BenchConfig):

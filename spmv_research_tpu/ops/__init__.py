@@ -22,5 +22,7 @@ from . import clos_xl   # registers CLOSGX (scan-over-chunks XL engine)
 from .clos_xl import build_clos_gather_xl, ClosGX
 from . import btile     # registers BTILE MXU spmm/sddmm impls
 from .btile import build_btile, BTile
+from . import compensated  # registers CSRDS (fp64-parity double-single)
+from .compensated import build_csrds, CsrDS, spmv_csrds_f64
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan
 from .value_compress import CSRLUT, build_csr_lut
