@@ -226,7 +226,9 @@ def _btile_spmm_kernel(tg, sg_ref, scb_ref, tgt_ref, tiles_ref, x_ref,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)       # (TG*8, K)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BAND, tg * TILE_R), 0)
-    s = (rows == tgt_ref[:]).astype(jnp.float32)           # (1024, TG*8)
+    # tgt is fully VMEM-resident ((1, TG*8) blocks violate the (8,128)
+    # tiling rule on real TPUs); slice this step's row in-kernel
+    s = (rows == tgt_ref[pl.ds(i, 1), :]).astype(jnp.float32)
     y_ref[:] = y_ref[:] + jnp.dot(
         s, p, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
@@ -241,7 +243,8 @@ def spmm_btile_pallas_padded(A: BTile, xp: jnp.ndarray) -> jnp.ndarray:
         num_scalar_prefetch=2,
         grid=(A.nsteps,),
         in_specs=[
-            pl.BlockSpec((1, tg * TILE_R), lambda i, sg, scb: (i, 0),
+            pl.BlockSpec((A.nsteps, tg * TILE_R),
+                         lambda i, sg, scb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tg * TILE_R, TILE_C), lambda i, sg, scb: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -319,8 +322,9 @@ def _btile_sddmm_kernel(tg, sg_ref, scb_ref, tgt_ref, mask_ref, a_ref,
     (S^T (TG*8, 1024) @ A_band), then one (TG*8, K)@(K, 128) MXU matmul
     against B's column block produces all TG tiles' dot products at once.
     """
+    i = pl.program_id(0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (BAND, tg * TILE_R), 0)
-    s = (rows == tgt_ref[:]).astype(jnp.float32)           # (1024, TG*8)
+    s = (rows == tgt_ref[pl.ds(i, 1), :]).astype(jnp.float32)  # (1024,TG*8)
     a_rows = jnp.dot(s.T, a_ref[:],
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)  # (TG*8, K)
@@ -342,7 +346,8 @@ def sddmm_btile_pallas_padded(A: BTile, ap: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(A.nsteps,),
         in_specs=[
-            pl.BlockSpec((1, tg * TILE_R), lambda i, sg, scb: (i, 0),
+            pl.BlockSpec((A.nsteps, tg * TILE_R),
+                         lambda i, sg, scb: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tg * TILE_R, TILE_C), lambda i, sg, scb: (i, 0),
                          memory_space=pltpu.VMEM),

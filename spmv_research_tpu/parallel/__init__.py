@@ -5,3 +5,7 @@ from .dist import (
 from .multihost import init_multihost, weak_scaling_efficiency
 from .dist import build_col_sharded_csr, distributed_spmv_psum_scatter, ColShardedCSR
 from .dist_closg import build_sharded_closg, distributed_spmv_closg, ShardedClosG
+from .dist_sellr import (build_dist_sellr, dist_spmv_sellr,
+                         dist_spmv_sellr_host, DistSellR)
+from .dist_closgx import (build_dist_closgx, dist_spmv_closgx,
+                          dist_spmv_closgx_host, DistClosGX)
