@@ -15,6 +15,12 @@ import sys
 sys.path.insert(0, ".")
 
 
+def _read_specs(path):
+    with open(path) as f:
+        return [ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--matrices", help="file with one matrix spec per line")
@@ -24,15 +30,41 @@ def main():
     ap.add_argument("--workloads", nargs="+", default=["spmv"])
     ap.add_argument("--impls", nargs="+", default=None)
     ap.add_argument("--out", default="out_logs")
+    ap.add_argument("--job", action="append", default=[],
+                    help="semicolon-separated job spec run IN THIS process "
+                         "(a new process pays a ~10-min remote-worker "
+                         "handshake): "
+                         "'mats=FILE;formats=a,b;workloads=x,y;impls=i,j"
+                         ";kdim=64;out=DIR'. Repeatable; jobs run in order.")
     args = ap.parse_args()
 
     from spmv_research_tpu.harness import run_sweep, BenchConfig
 
+    if args.job:
+        for js in args.job:
+            kv = dict(part.split("=", 1) for part in js.split(";") if part)
+            specs = _read_specs(kv["mats"])
+            cfg = BenchConfig.from_env()
+            if "kdim" in kv:
+                cfg.k_dim = int(kv["kdim"])
+            print(f"### job: {js}", flush=True)
+            try:
+                run_sweep(specs,
+                          formats=kv["formats"].split(","),
+                          workloads=kv["workloads"].split(","),
+                          impls=kv.get("impls", "").split(",") or None,
+                          out_dir=kv.get("out", args.out),
+                          config=cfg)
+            except SystemExit:
+                raise           # worker death: restart wrapper handles it
+            except Exception as e:
+                print(f"### job failed: {type(e).__name__}: {e}",
+                      flush=True)
+        return
+
     specs = list(args.matrix)
     if args.matrices:
-        with open(args.matrices) as f:
-            specs += [ln.strip() for ln in f
-                      if ln.strip() and not ln.startswith("#")]
+        specs += _read_specs(args.matrices)
     if not specs:
         ap.error("no matrices given")
     run_sweep(specs, formats=args.formats, workloads=args.workloads,
