@@ -154,9 +154,9 @@ def main():
             y_ref[0:SUB, :] = ra_ref[0:SUB, :] + RB[0:SUB, :]
             return
 
-        def acc(c, _):
+        for c in range(NB):
             meta = smeta_ref[NB * W + c]
-            RAc = ra_ref[pl.ds(c * SUB, SUB), :]
+            RAc = ra_ref[c * SUB:(c + 1) * SUB, :]
             oAc = octA_[c * SUB:(c + 1) * SUB, :]
             oBc = octB_[c * SUB:(c + 1) * SUB, :]
             RBc = RB[c * SUB:(c + 1) * SUB, :]
@@ -174,8 +174,6 @@ def main():
                 y_ref[pl.ds(yb, GSUB), :] = (y_ref[pl.ds(yb, GSUB), :]
                                              + acc_ref[:])
                 acc_ref[:] = jnp.zeros_like(acc_ref)
-            return 0
-        jax.lax.fori_loop(0, NB, acc, 0, unroll=True)
 
     params = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
     blk = lambda i: (i, 0)  # noqa: E731
