@@ -109,6 +109,16 @@ def bench_sddmm(host: HostCSR, S, *, config: Optional[BenchConfig] = None,
 
     vals = np.asarray(jax.block_until_ready(sddmm_dispatch(S, Ad, Bd, impl=impl)),
                       dtype=np.float64)
+    if vals.ndim != 1:
+        # tile-slab layouts (BTILE) return per-tile planes; extract the
+        # per-nnz CSR-ordered values for validation only — the timed loop
+        # below measures the raw kernel
+        from ..ops.btile import BTile, sddmm_slab_to_csr_values
+        if isinstance(S, BTile):
+            vals = np.asarray(sddmm_slab_to_csr_values(S, vals, host),
+                              dtype=np.float64)
+        else:
+            vals = vals.reshape(-1)
     rows = np.repeat(np.arange(host.m), host.row_lengths())
     ref = np.sum(Amat[rows] * Bmat[host.ja], axis=1)
     m = error_metrics(ref, vals[: host.nnz], EPSILON_GATE[np.dtype(cfg.dtype)])

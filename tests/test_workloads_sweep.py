@@ -191,3 +191,16 @@ def test_bench_spgemm_and_trisolve(rng):
     r2 = bench_trisolve(host_dd, config=cfg, matrix_name="t")
     assert r2.max_ae < 1e-4
     assert r2.extra["n_levels_L"] >= 1
+
+
+def test_bench_sddmm_btile_slab(square_csr):
+    """BTILE returns a tile slab; bench_sddmm must validate via the
+    structural slab->CSR extraction (regression: round-3 sweep crash)."""
+    from spmv_research_tpu.harness.workloads import bench_sddmm
+    from spmv_research_tpu.harness.config import BenchConfig
+    from spmv_research_tpu.ops.btile import build_btile
+    S = build_btile(square_csr)
+    cfg = BenchConfig(min_num_loops=1, min_time_s=0.0, k_dim=16)
+    r = bench_sddmm(square_csr, S, config=cfg, impl="xla",
+                    matrix_name="sq")
+    assert r.mape < 1e-5
