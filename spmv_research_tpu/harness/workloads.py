@@ -202,12 +202,19 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
     n_pairs_total = sum(bp.npairs for bp in plans)
     nnz_c_total = sum(bp.nnz_c for bp in plans)
 
+    from ..ops.spgemm import _scan_numeric
+
     def fn(carry):
-        # small-vector carry (timing chains fold it back); per-block sums
-        # force the full scan + take to execute
+        # the numeric-phase INPUT must depend on the chain carry: a
+        # carry-independent bp.numeric() is loop-invariant and XLA hoists
+        # the whole computation out of the fori chain, making the
+        # differential ~0 (round-3 sweep: scircuit "6263 GFLOPS @ 2us")
+        eps = carry.reshape(-1)[0] * 1e-30
         tot = jnp.zeros((), jnp.float32)
         for bp in plans:
-            tot = tot + bp.numeric().sum()
+            got = _scan_numeric(bp.av * (1.0 + eps), bp.bv, bp.guard,
+                                bp.head, stages=bp.stages)
+            tot = tot + got.sum()
         return carry + tot * 1e-30
 
     # validation: per-block scipy gold, compared on device
