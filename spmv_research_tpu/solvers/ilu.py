@@ -174,6 +174,17 @@ def build_level_schedule(T: HostCSR, lower: bool = True,
     offd = lengths - 1  # off-diagonal count per row (diag always present)
     W = max(int(offd.max()) if m else 0, 1)
 
+    # the dense (n_levels, R, W) padding explodes on scattered matrices
+    # with deep dependency chains (round-3: the scircuit twin's schedule
+    # reached tens of GB and killed the remote worker mid-transfer) —
+    # refuse with a clean error instead so harness retries log a failure
+    pad_bytes = n_levels * R * (W + 1) * 8
+    if pad_bytes > (1 << 31):
+        raise ValueError(
+            f"level schedule too padded ({pad_bytes / 1e9:.1f} GB: "
+            f"{n_levels} levels x {R} rows x {W} width) — matrix needs a "
+            "sparse-level trisolve formulation")
+
     rows_arr = np.full((n_levels, R), m, dtype=INDEX_DTYPE)
     cols_arr = np.zeros((n_levels, R, W), dtype=INDEX_DTYPE)
     vals_arr = np.zeros((n_levels, R, W), dtype=np.float64)
