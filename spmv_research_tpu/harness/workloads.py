@@ -204,16 +204,24 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
 
     from ..ops.spgemm import _scan_numeric
 
-    def fn(carry):
+    # plan leaves travel as chain ARGUMENTS: closed-over arrays become HLO
+    # constants and the remote compiler rejects big programs with HTTP 413
+    # (raefsky3's ~100M-pair plan, round-3 sweep)
+    plan_leaves = []
+    for bp in plans:
+        plan_leaves += [bp.av, bp.bv, bp.guard, bp.head]
+
+    def fn(carry, *ls):
         # the numeric-phase INPUT must depend on the chain carry: a
         # carry-independent bp.numeric() is loop-invariant and XLA hoists
         # the whole computation out of the fori chain, making the
         # differential ~0 (round-3 sweep: scircuit "6263 GFLOPS @ 2us")
         eps = carry.reshape(-1)[0] * 1e-30
         tot = jnp.zeros((), jnp.float32)
-        for bp in plans:
-            got = _scan_numeric(bp.av * (1.0 + eps), bp.bv, bp.guard,
-                                bp.head, stages=bp.stages)
+        for i, bp in enumerate(plans):
+            av, bv, guard, head = ls[4 * i: 4 * i + 4]
+            got = _scan_numeric(av * (1.0 + eps), bv, guard, head,
+                                stages=bp.stages)
             tot = tot + got.sum()
         return carry + tot * 1e-30
 
@@ -243,7 +251,8 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
     if n_pairs_total > 1 << 25:
         t_cfg = dataclasses.replace(cfg, inner_iters=8, min_num_loops=8,
                                     min_time_s=min(cfg.min_time_s, 2.0))
-    t_med, loops = _time_fn(fn, (jnp.zeros(8, jnp.float32),), t_cfg)
+    t_med, loops = _time_fn(fn, (jnp.zeros(8, jnp.float32),
+                                 *plan_leaves), t_cfg)
     # flops = 2 * Σ_k (products) = 2 * intermediate products count
     flops = 2.0 * float(n_pairs_total)
     return WorkloadResult(
