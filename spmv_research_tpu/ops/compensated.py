@@ -57,7 +57,11 @@ def _two_sum(a, b):
 
 
 def _split32(a):
-    """Dekker split of fp32 into 12+12-bit halves (exact)."""
+    """Dekker split of fp32 into 12+12-bit halves (exact).
+
+    Operand range: ``4097*a`` overflows fp32 for |a| ≥ ~8.3e34, silently
+    turning TwoProd error terms into NaN — :func:`build_csrds` rejects
+    matrices whose |values| exceed ``DS_MAX_ABS`` at build time (ADVICE r3)."""
     c = jnp.float32(4097.0) * a  # 2^12 + 1
     ahi = c - (c - a)
     return ahi, a - ahi
@@ -104,8 +108,17 @@ class CsrDS:
                    + self.segrow.size * 4 + self.xpad_mask.size * 4)
 
 
+DS_MAX_ABS = 8.0e34   # Dekker-split overflow bound (see _split32)
+
+
 def build_csrds(csr: HostCSR) -> CsrDS:
     """Compile host CSR (fp64 values) into the double-single format."""
+    amax = float(np.max(np.abs(csr.a))) if csr.nnz else 0.0
+    if amax >= DS_MAX_ABS:
+        raise ValueError(
+            f"CSRDS operand range exceeded: max|a| = {amax:.3g} >= "
+            f"{DS_MAX_ABS:.1g} overflows the fp32 Dekker split (scale the "
+            "matrix or use the fp64 CPU-backend path)")
     m, n = csr.m, csr.n
     ia = csr.ia.astype(np.int64)
     ja = csr.ja.astype(np.int64)

@@ -81,6 +81,11 @@ def build_dist_closgx(csr: HostCSR, mesh: Mesh, axis: str = "d",
                       max_chunks: int = 256) -> DistClosGX:
     k = mesh.shape[axis]
     m, n = csr.m, csr.n
+    if m < k * LANES:
+        raise ValueError(
+            f"matrix too small for {k}-way 128-aligned sharding "
+            f"(m={m} < {k * LANES}); use fewer devices or the single-chip "
+            "path (ADVICE r3: collapsed zero-row shards fail obscurely)")
     # 128-aligned nnz-balanced row boundaries
     starts = partition_rows_nnz_balanced(csr, k)
     starts = [min((s + LANES - 1) // LANES * LANES, m) for s in starts]

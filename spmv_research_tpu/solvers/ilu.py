@@ -72,6 +72,16 @@ def ilu0(csr: HostCSR) -> Tuple[HostCSR, HostCSR]:
             diag_ptr[i] = s + dp
         else:
             raise ValueError(f"missing diagonal in row {i} (run fix_diagonal_zeros)")
+        # pivot perturbation (SuperLU-style): a vanishing U diagonal makes
+        # later L entries explode -> fp32 inf/NaN in the level schedule
+        # (round-3: raefsky3 trisolve rows shipped mape=nan). Floor the
+        # pivot at 1e-4 x the row scale; ILU0 is approximate anyway and a
+        # perturbed preconditioner beats a NaN one.
+        dv = a[diag_ptr[i]]
+        row_scale = float(np.max(np.abs(a[s:e]))) or 1.0
+        tiny = 1e-4 * row_scale
+        if abs(dv) < tiny:
+            a[diag_ptr[i]] = tiny if dv >= 0.0 else -tiny
 
     # split into L (strict lower + unit diag) and U (diag + upper)
     rows = np.repeat(np.arange(m, dtype=np.int64), csr.row_lengths())
@@ -136,6 +146,10 @@ def _from_triplets(rows, cols, vals, m, add_unit_diag: bool) -> HostCSR:
 
 # ---------------------------------------------------------------- trisolve
 
+class SchedulePaddingError(ValueError):
+    """Dense level schedule would exceed the padding budget."""
+
+
 @dataclasses.dataclass
 class LevelSchedule:
     """Level-scheduled triangular structure, padded uniform for `lax.scan`."""
@@ -147,6 +161,11 @@ class LevelSchedule:
     n_levels: int
     m: int
     lower: bool
+
+
+jax.tree_util.register_dataclass(
+    LevelSchedule, data_fields=["rows", "cols", "vals", "inv_diag"],
+    meta_fields=["n_levels", "m", "lower"])
 
 
 def build_level_schedule(T: HostCSR, lower: bool = True,
@@ -177,13 +196,18 @@ def build_level_schedule(T: HostCSR, lower: bool = True,
     # the dense (n_levels, R, W) padding explodes on scattered matrices
     # with deep dependency chains (round-3: the scircuit twin's schedule
     # reached tens of GB and killed the remote worker mid-transfer) —
-    # refuse with a clean error instead so harness retries log a failure
-    pad_bytes = n_levels * R * (W + 1) * 8
-    if pad_bytes > (1 << 31):
-        raise ValueError(
+    # refuse with a clean error so build_schedule falls back to the
+    # chunked formulation. Bound computed from the REAL dtypes (the old
+    # (W+1)*8 estimate admitted ~3 GB schedules past a 2 GB guard).
+    val_isz = np.dtype(dtype).itemsize
+    idx_isz = np.dtype(INDEX_DTYPE).itemsize
+    pad_bytes = n_levels * R * (W * (idx_isz + val_isz)
+                                + 2 * idx_isz + val_isz)
+    if pad_bytes > (1 << 28):
+        raise SchedulePaddingError(
             f"level schedule too padded ({pad_bytes / 1e9:.1f} GB: "
-            f"{n_levels} levels x {R} rows x {W} width) — matrix needs a "
-            "sparse-level trisolve formulation")
+            f"{n_levels} levels x {R} rows x {W} width) — use the chunked "
+            "schedule (build_schedule falls back automatically)")
 
     rows_arr = np.full((n_levels, R), m, dtype=INDEX_DTYPE)
     cols_arr = np.zeros((n_levels, R, W), dtype=INDEX_DTYPE)
@@ -221,8 +245,203 @@ def build_level_schedule(T: HostCSR, lower: bool = True,
     )
 
 
-def sptrsv(sched: LevelSchedule, b: jnp.ndarray) -> jnp.ndarray:
+@dataclasses.dataclass
+class ChunkSchedule:
+    """Slot-chunked level schedule: memory bounded by nnz + n_levels·C.
+
+    The dense ``LevelSchedule`` pads to (n_levels, max_rows, max_width) and
+    explodes on scattered matrices with deep dependency chains (round-3:
+    the scircuit twin's schedule killed the remote worker). Here the solve
+    is a ``lax.scan`` over fixed-size chunks of ``C`` slots, slots ordered
+    (level, row); a level's slots are padded to whole chunks, rows wider
+    than ``C`` straddle chunks via a scalar carry. Per-slot cost is 20 B.
+    """
+
+    cols: jnp.ndarray   # (n_chunks, C) int32 col ids (pad: m = zero sink)
+    vals: jnp.ndarray   # (n_chunks, C) off-diag values (pad 0)
+    sid: jnp.ndarray    # (n_chunks, C) int32 local segment id, sorted
+    rows: jnp.ndarray   # (n_chunks, C) int32 target row per segment (pad m)
+    invd: jnp.ndarray   # (n_chunks, C) 1/diag per segment (pad 0)
+    cont: jnp.ndarray   # (n_chunks,) bool — segment 0 continues prev chunk
+    tail: jnp.ndarray   # (n_chunks,) bool — last segment continues onward
+    last_sid: jnp.ndarray  # (n_chunks,) int32 — last live segment id
+    n_chunks: int
+    m: int
+    C: int
+    lower: bool
+
+    # dense-schedule interface parity (reporting)
+    @property
+    def n_levels(self):
+        return self.n_chunks
+
+
+jax.tree_util.register_dataclass(
+    ChunkSchedule,
+    data_fields=["cols", "vals", "sid", "rows", "invd", "cont", "tail",
+                 "last_sid"],
+    meta_fields=["n_chunks", "m", "C", "lower"])
+
+
+def build_chunk_schedule(T: HostCSR, lower: bool = True, dtype=jnp.float32,
+                         C: int = 512) -> ChunkSchedule:
+    """Build the chunked level schedule (see :class:`ChunkSchedule`)."""
+    m = T.m
+    ia, ja = T.ia.astype(np.int64), T.ja.astype(np.int64)
+    vals = T.a.astype(np.float64)
+    level = np.zeros(m, dtype=np.int64)
+    row_iter = range(m) if lower else range(m - 1, -1, -1)
+    for i in row_iter:
+        s, e = ia[i], ia[i + 1]
+        nb = ja[s:e]
+        nb = nb[nb < i] if lower else nb[nb > i]
+        if nb.size:
+            level[i] = level[nb].max() + 1
+    n_levels = int(level.max()) + 1 if m else 1
+    order = np.argsort(level, kind="stable")
+
+    # per-row off-diag slots (>= 1: zero-offd rows get one dummy slot)
+    dt = np.dtype(dtype)
+    cols_l, vals_l, sid_l, rows_l, invd_l = [], [], [], [], []
+    cont_l, tail_l, last_l = [], [], []
+
+    cur_cols = []     # growing slot lists of the current chunk
+    cur_vals = []
+    cur_sid = []
+    seg_rows = []     # (C,) per-segment row target / invd of current chunk
+    seg_invd = []
+    cur_cont = False
+    nseg = 0
+
+    def flush(tail):
+        nonlocal cur_cols, cur_vals, cur_sid, seg_rows, seg_invd
+        nonlocal cur_cont, nseg
+        k = len(cur_cols)
+        if k == 0 and not tail:
+            return
+        cols_l.append(np.pad(np.array(cur_cols, np.int64), (0, C - k),
+                             constant_values=m))
+        vals_l.append(np.pad(np.array(cur_vals, np.float64), (0, C - k)))
+        sid_l.append(np.pad(np.array(cur_sid, np.int64), (0, C - k),
+                            constant_values=max(nseg - 1, 0)))
+        r = np.full(C, m, np.int64)
+        d = np.zeros(C, np.float64)
+        r[:len(seg_rows)] = seg_rows
+        d[:len(seg_invd)] = seg_invd
+        rows_l.append(r)
+        invd_l.append(d)
+        cont_l.append(cur_cont)
+        tail_l.append(tail)
+        last_l.append(max(nseg - 1, 0))
+        cur_cols, cur_vals, cur_sid = [], [], []
+        seg_rows, seg_invd = [], []
+        cur_cont = tail
+        nseg = 1 if tail else 0
+        if tail:
+            seg_rows.append(m)       # placeholder; final chunk sets real row
+            seg_invd.append(0.0)
+
+    prev_level = 0
+    for i in order:
+        lv = level[i]
+        if lv != prev_level:
+            flush(False)             # levels never share a chunk
+            prev_level = lv
+        s, e = ia[i], ia[i + 1]
+        jj = ja[s:e]
+        off = jj != i
+        oc, ov = jj[off], vals[s:e][off]
+        dsel = np.flatnonzero(~off)
+        if dsel.size == 0 or vals[s + dsel[0]] == 0.0:
+            raise ValueError(f"missing/zero diagonal at row {i}")
+        dv = 1.0 / vals[s + dsel[0]]
+        if oc.size == 0:             # zero-offd row: one dummy slot
+            oc, ov = np.array([m], np.int64), np.array([0.0])
+        if 0 < len(cur_cols) and len(cur_cols) + oc.size > C \
+                and oc.size <= C:
+            flush(False)             # small row starts a fresh chunk
+        pos = 0
+        sidv = None                  # this row's segment in current chunk
+        while pos < oc.size:
+            take = min(oc.size - pos, C - len(cur_cols))
+            if sidv is None:
+                if cur_cont and len(cur_cols) == 0:
+                    sidv = 0         # tail flush pre-allocated segment 0
+                else:
+                    sidv = nseg
+                    seg_rows.append(m)
+                    seg_invd.append(0.0)
+                    nseg += 1
+            cur_cols.extend(oc[pos:pos + take].tolist())
+            cur_vals.extend(ov[pos:pos + take].tolist())
+            cur_sid.extend([sidv] * take)
+            pos += take
+            if pos < oc.size:        # straddles: carry to next chunk
+                flush(True)
+                sidv = None
+            else:                    # final chunk of the row: completes here
+                seg_rows[sidv] = i
+                seg_invd[sidv] = dv
+    flush(False)
+
+    n_chunks = max(len(cols_l), 1)
+    if not cols_l:
+        cols_l = [np.full(C, m, np.int64)]
+        vals_l = [np.zeros(C)]
+        sid_l = [np.zeros(C, np.int64)]
+        rows_l = [np.full(C, m, np.int64)]
+        invd_l = [np.zeros(C)]
+        cont_l, tail_l, last_l = [False], [False], [0]
+    return ChunkSchedule(
+        cols=jnp.asarray(np.stack(cols_l).astype(INDEX_DTYPE)),
+        vals=jnp.asarray(np.stack(vals_l).astype(dt)),
+        sid=jnp.asarray(np.stack(sid_l).astype(INDEX_DTYPE)),
+        rows=jnp.asarray(np.stack(rows_l).astype(INDEX_DTYPE)),
+        invd=jnp.asarray(np.stack(invd_l).astype(dt)),
+        cont=jnp.asarray(np.array(cont_l)),
+        tail=jnp.asarray(np.array(tail_l)),
+        last_sid=jnp.asarray(np.array(last_l, INDEX_DTYPE)),
+        n_chunks=n_chunks, m=m, C=C, lower=lower)
+
+
+def build_schedule(T: HostCSR, lower: bool = True, dtype=jnp.float32):
+    """Dense level schedule when the padding is modest, chunked otherwise."""
+    try:
+        return build_level_schedule(T, lower=lower, dtype=dtype)
+    except SchedulePaddingError:
+        return build_chunk_schedule(T, lower=lower, dtype=dtype)
+
+
+def _sptrsv_chunked(sched: ChunkSchedule, b: jnp.ndarray) -> jnp.ndarray:
+    m, C = sched.m, sched.C
+    b = jnp.asarray(b, sched.vals.dtype)
+    x0 = jnp.zeros(m + 1, dtype=b.dtype)      # slot m = zero sink
+    bp = jnp.pad(b, (0, 1))
+
+    def step(state, chunk):
+        x, carry = state
+        cols, vals, sid, rows, invd, cont, tail, last_sid = chunk
+        g = jnp.take(x, cols) * vals
+        acc = jax.ops.segment_sum(g, sid, num_segments=C,
+                                  indices_are_sorted=True)
+        acc = acc.at[0].add(jnp.where(cont, carry, 0.0))
+        xi = (jnp.take(bp, rows) - acc) * invd     # pad rows: invd=0 -> 0
+        x = x.at[rows].set(xi, mode="drop")
+        x = x.at[m].set(0.0)                       # keep the sink zero
+        carry_out = jnp.where(tail, acc[last_sid], 0.0)
+        return (x, carry_out), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x0, jnp.zeros((), b.dtype)),
+        (sched.cols, sched.vals, sched.sid, sched.rows, sched.invd,
+         sched.cont, sched.tail, sched.last_sid))
+    return x[:m]
+
+
+def sptrsv(sched, b: jnp.ndarray) -> jnp.ndarray:
     """Solve T x = b via the level schedule (device; one scan over levels)."""
+    if isinstance(sched, ChunkSchedule):
+        return _sptrsv_chunked(sched, b)
     m = sched.m
     b = jnp.asarray(b, sched.vals.dtype)
     x0 = jnp.zeros(m + 1, dtype=b.dtype)  # slot m = padding sink

@@ -47,12 +47,18 @@ def main():
             cfg = BenchConfig.from_env()
             if "kdim" in kv:
                 cfg.k_dim = int(kv["kdim"])
+            if kv.get("transform"):      # spd | dd (solver-dataset analogs)
+                cfg.matrix_transform = kv["transform"]
+            if kv.get("precond"):        # jacobi | ic0 | ilu0
+                cfg.solver_precond = kv["precond"]
+            if kv.get("maxiters"):
+                cfg.cg_max_num_iters = int(kv["maxiters"])
             print(f"### job: {js}", flush=True)
             try:
                 run_sweep(specs,
                           formats=kv["formats"].split(","),
                           workloads=kv["workloads"].split(","),
-                          impls=kv.get("impls", "").split(",") or None,
+                          impls=kv["impls"].split(",") if kv.get("impls") else None,
                           out_dir=kv.get("out", args.out),
                           config=cfg)
             except SystemExit:
