@@ -417,11 +417,12 @@ int32_t euler_edge_color(const int64_t* left, const int64_t* right,
 
 static const int kSub = 8, kLanes = 128;
 
-int64_t sellw_pack(const int64_t* ia, const int32_t* ja, const float* av,
-                   int64_t m, int64_t cap, int32_t count_only,
-                   int32_t* word, float* vals, int32_t* wrow,
-                   int32_t* pair_out, uint8_t* bids_out,
-                   int32_t* max_part_out) {
+int64_t sellw_pack2(const int64_t* ia, const int32_t* ja, const float* av,
+                    int64_t m, int64_t cap, int32_t count_only,
+                    int32_t part_cap,
+                    int32_t* word, float* vals, int32_t* wrow,
+                    int32_t* pair_out, uint8_t* bids_out,
+                    int32_t* max_part_out, int32_t* idx_out) {
   const int64_t nblocks = (m + kLanes - 1) / kLanes;
   const int64_t npairs = (nblocks + 1) / 2;
   int64_t nchunks = 0;
@@ -440,11 +441,17 @@ int64_t sellw_pack(const int64_t* ia, const int32_t* ja, const float* av,
         const int32_t bin = ja[e] / kLanes;
         int64_t f = e + 1;
         while (f < ia[r + 1] && ja[f] / kLanes == bin) ++f;
-        pstart.push_back(e);
-        plen.push_back(f - e);
-        prow.push_back(r - r0);
-        pbin.push_back(bin);
-        if (f - e > max_part) max_part = (int32_t)(f - e);
+        // part_cap: split long parts into sub-parts, each with its own
+        // extraction cell (the masked sublane-sum adds sub-totals) --
+        // bounds the scan depth at log2(part_cap) with zero extra slots
+        for (int64_t ps = e; ps < f; ps += part_cap) {
+          const int64_t pe = std::min(ps + (int64_t)part_cap, f);
+          pstart.push_back(ps);
+          plen.push_back(pe - ps);
+          prow.push_back(r - r0);
+          pbin.push_back(bin);
+          if (pe - ps > max_part) max_part = (int32_t)(pe - ps);
+        }
         e = f;
       }
     }
@@ -461,6 +468,9 @@ int64_t sellw_pack(const int64_t* ia, const int32_t* ja, const float* av,
       int32_t* wd = count_only ? nullptr
                                : word + nchunks * kSub * kLanes;
       float* vv = count_only ? nullptr : vals + nchunks * kSub * kLanes;
+      int32_t* ix = (count_only || !idx_out)
+                        ? nullptr : idx_out + nchunks * kSub * kLanes;
+      if (ix) memset(ix, 0xFF, sizeof(int32_t) * kSub * kLanes);  // -1
       uint32_t ex[kSub][kLanes];
       memset(ex, 0, sizeof(ex));
       if (!count_only) {
@@ -501,6 +511,7 @@ int64_t sellw_pack(const int64_t* ia, const int32_t* ja, const float* av,
             wd[s * kLanes + pos[s] + d] =
                 (int32_t)((uint32_t)(ja[p + d] & (kLanes - 1)) | (g << 7));
             vv[s * kLanes + pos[s] + d] = av[p + d];
+            if (ix) ix[s * kLanes + pos[s] + d] = (int32_t)(p + d);
           }
         }
         ex[s][lane] = ((uint32_t)(pos[s] + k - 1) << 14) | (1u << 21)
@@ -522,6 +533,15 @@ int64_t sellw_pack(const int64_t* ia, const int32_t* ja, const float* av,
   }
   *max_part_out = max_part;
   return nchunks;
+}
+
+int64_t sellw_pack(const int64_t* ia, const int32_t* ja, const float* av,
+                   int64_t m, int64_t cap, int32_t count_only,
+                   int32_t* word, float* vals, int32_t* wrow,
+                   int32_t* pair_out, uint8_t* bids_out,
+                   int32_t* max_part_out) {
+  return sellw_pack2(ia, ja, av, m, cap, count_only, kLanes, word, vals,
+                     wrow, pair_out, bids_out, max_part_out, nullptr);
 }
 
 }  // extern "C"

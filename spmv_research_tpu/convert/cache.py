@@ -37,7 +37,8 @@ def matrix_digest(csr: HostCSR) -> str:
     return h.hexdigest()[:24]
 
 
-SCHEMA_VERSION = 13  # bump when any format pytree's field set changes
+SCHEMA_VERSION = 15  # bump when any format pytree's field set changes
+                     # (14: SellW stage classes; 15: part_cap default 8)
 
 
 def _key(csr: HostCSR, fmt_name: str, kwargs: dict) -> str:

@@ -75,6 +75,8 @@ from ..ops.btile import build_btile as _build_btile
 FORMAT_BUILDERS["btile"] = _cached(_build_btile, "btile")
 from ..ops.compensated import build_csrds as _build_csrds
 FORMAT_BUILDERS["csrds"] = lambda h, dtype: _build_csrds(h)
+from ..ops.sellw_ds import build_sellwds as _build_sellwds
+FORMAT_BUILDERS["sellwds"] = _cached(_build_sellwds, "sellwds")
 
 
 def load_matrix(spec: str, cfg: BenchConfig):

@@ -255,7 +255,7 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
     # (raefsky3's ~100M-pair plan, round-3 sweep)
     plan_leaves = []
     for bp in plans:
-        plan_leaves += [bp.av, bp.bv, bp.guard, bp.head]
+        plan_leaves += [bp.av, bp.bv, bp.guard, bp.rowg, bp.head, bp.corr]
 
     def fn(carry, *ls):
         # the numeric-phase INPUT must depend on the chain carry: a
@@ -265,9 +265,9 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
         eps = carry.reshape(-1)[0] * 1e-30
         tot = jnp.zeros((), jnp.float32)
         for i, bp in enumerate(plans):
-            av, bv, guard, head = ls[4 * i: 4 * i + 4]
-            got = _scan_numeric(av * (1.0 + eps), bv, guard, head,
-                                stages=bp.stages)
+            av, bv, guard, rowg, head, corr = ls[6 * i: 6 * i + 6]
+            got = _scan_numeric(av * (1.0 + eps), bv, guard, rowg, head,
+                                corr, stages=bp.stages, cstages=bp.cstages)
             tot = tot + got.sum()
         return carry + tot * 1e-30
 

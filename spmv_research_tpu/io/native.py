@@ -106,6 +106,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, _c_i32p]
 
+    if hasattr(lib, "sellw_pack2"):  # + part_cap (round-4 scan-depth cap)
+        lib.sellw_pack2.restype = ctypes.c_int64
+        lib.sellw_pack2.argtypes = [
+            _c_i64p, _c_i32p, _c_f32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, _c_i32p, ctypes.c_void_p]
+
     _LIB = lib
     return _LIB
 
@@ -198,34 +206,55 @@ def euler_edge_color_native(left, right, levels):
     return color if rc == 0 else None
 
 
-def have_sellw_pack() -> bool:
+def have_sellw_pack(part_cap: int = 128) -> bool:
     lib = get_lib()
-    return lib is not None and hasattr(lib, "sellw_pack")
+    if lib is None:
+        return False
+    if part_cap < 128:
+        return hasattr(lib, "sellw_pack2")
+    return hasattr(lib, "sellw_pack")
 
 
-def sellw_pack_native(ia, ja, a_f32, m):
+def sellw_pack_native(ia, ja, a_f32, m, part_cap: int = 128,
+                      want_idx: bool = False):
     """Two-pass native SELLW packer: count, allocate exact, pack.
 
     Returns (word (nchunks·8,128) int32, vals likewise float32,
-    wrow (nchunks·8,), pair (nchunks,), bids (nchunks,) uint8, max_part)."""
+    wrow (nchunks·8,), pair (nchunks,), bids (nchunks,) uint8, max_part
+    [, idx (nchunks·8,128) int32 source-nnz per slot, -1 empty])."""
     lib = get_lib()
     ia = np.ascontiguousarray(ia, np.int64)
     ja = np.ascontiguousarray(ja, np.int32)
     a_f32 = np.ascontiguousarray(a_f32, np.float32)
     mp = np.zeros(1, np.int32)
-    n = lib.sellw_pack(ia, ja, a_f32, m, 0, 1, None, None, None, None,
-                       None, mp)
+
+    def call(cap, count_only, *bufs):
+        if hasattr(lib, "sellw_pack2"):
+            idx_buf = bufs[5] if len(bufs) > 5 else None
+            return lib.sellw_pack2(ia, ja, a_f32, m, cap, count_only,
+                                   part_cap, *bufs[:5], mp, idx_buf)
+        assert part_cap >= 128 and not want_idx
+        return lib.sellw_pack(ia, ja, a_f32, m, cap, count_only,
+                              *bufs[:5], mp)
+
+    n = call(0, 1, None, None, None, None, None)
     word = np.zeros((max(int(n), 1) * 8, 128), np.int32)
     vals = np.zeros((max(int(n), 1) * 8, 128), np.float32)
     wrow = np.zeros(max(int(n), 1) * 8, np.int32)
     pair = np.zeros(max(int(n), 1), np.int32)
     bids = np.zeros(max(int(n), 1), np.uint8)
-    n2 = lib.sellw_pack(ia, ja, a_f32, m, int(n), 0,
-                        word.ctypes.data_as(ctypes.c_void_p),
-                        vals.ctypes.data_as(ctypes.c_void_p),
-                        wrow.ctypes.data_as(ctypes.c_void_p),
-                        pair.ctypes.data_as(ctypes.c_void_p),
-                        bids.ctypes.data_as(ctypes.c_void_p), mp)
+    bufs = [word.ctypes.data_as(ctypes.c_void_p),
+            vals.ctypes.data_as(ctypes.c_void_p),
+            wrow.ctypes.data_as(ctypes.c_void_p),
+            pair.ctypes.data_as(ctypes.c_void_p),
+            bids.ctypes.data_as(ctypes.c_void_p)]
+    if want_idx:
+        idx = np.zeros((max(int(n), 1) * 8, 128), np.int32)
+        bufs.append(idx.ctypes.data_as(ctypes.c_void_p))
+    n2 = call(int(n), 0, *bufs)
     assert n2 == n, (n2, n)
-    return (word[: int(n) * 8], vals[: int(n) * 8], wrow[: int(n) * 8],
-            pair[: int(n)], bids[: int(n)], int(mp[0]))
+    out = (word[: int(n) * 8], vals[: int(n) * 8], wrow[: int(n) * 8],
+           pair[: int(n)], bids[: int(n)], int(mp[0]))
+    if want_idx:
+        return out + (idx[: int(n) * 8],)
+    return out

@@ -229,3 +229,6 @@ def spmv_csrds_f64(A: CsrDS, x: np.ndarray) -> np.ndarray:
     xhi, xlo = _split_f64(np.asarray(x, np.float64))
     s, e = jax.jit(spmv_csrds_pair)(A, jnp.asarray(xhi), jnp.asarray(xlo))
     return (np.asarray(s, np.float64) + np.asarray(e, np.float64))[: A.m]
+
+
+CsrDS.spmv_f64 = spmv_csrds_f64   # harness fp64-gate hook (bench_spmv)

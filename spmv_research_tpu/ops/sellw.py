@@ -89,7 +89,7 @@ class SellWBuildError(ValueError):
 
 @partial(_register, data_fields=("word", "vals", "wrow", "yidx"),
          meta_fields=("shape", "nnz", "nnz_expanded", "nchunks", "x_rows",
-                      "K", "stages", "stream_wins", "G"))
+                      "K", "stages", "stream_wins", "G", "classes"))
 @dataclasses.dataclass(frozen=True)
 class SellW:
     word: jnp.ndarray   # (8·nchunks_pad, 128) int32 packed per-slot word
@@ -106,6 +106,15 @@ class SellW:
     stream_wins: bool = False  # n too big for VMEM x: XLA pre-gathers wins
                                # and the kernel streams them (12 B/slot)
     G: int = 2          # y blocks grouped per chunk (bid bits = log2 G)
+    # stage classes: chunks sorted by required scan depth at build; each
+    # class ((start_chunk, n_chunks, stages), ...) runs its own grid with
+    # only the scan stages its longest part needs. The round-3 ablation
+    # measured ~63 us/stage at 25M slots — the dominant per-slot op cost —
+    # while most chunks of short-row matrices need 2-3 of the global 5-7
+    # stages (VERDICT r3 next #1: "stage-class-sorted chunk batches").
+    # Extra stages are no-ops (guard bits 0), so classes are purely an
+    # op-count optimization; start/n are multiples of CHUNK_PAD.
+    classes: Tuple[Tuple[int, int, int], ...] = ()
 
     format_name = "SELLW"
 
@@ -132,7 +141,8 @@ def _guard_bits(k: int) -> np.ndarray:
 
 
 def build_sellw(csr: HostCSR, dtype=jnp.float32,
-                max_chunk_factor: float = 4.0, group: int = 2) -> SellW:
+                max_chunk_factor: float = 4.0, group: int = 2,
+                part_cap: int = 8, want_idx: bool = False) -> SellW:
     """Compile host CSR into a SELLW program.
 
     ``group`` = G adjacent y blocks share each chunk's bins (power of two
@@ -142,9 +152,24 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
     ``max_chunk_factor`` × nnz. x too large for VMEM residency is NOT an
     error: the program switches to the streamed-wins kernel
     (``stream_wins``, 12 B/slot).
+
+    ``part_cap`` (power of two ≤ 128) splits parts longer than the cap
+    into sub-parts at build, each with its own extraction cell — the
+    masked sublane-sum already adds sub-totals per (bid, lane), so the
+    scan depth is bounded by ``log2(part_cap)`` with ZERO extra slots
+    (parts pack contiguously; splitting adds no padding). The round-4
+    ablation measured ~63 us/stage at 25M slots — scan depth is the
+    dominant per-slot cost — so capping 64-128-long parts (stages 6-7)
+    at 8 (stages 3) is the "fewer scan stages for short rows" lever of
+    VERDICT r3 next #1. Cost: sub-parts of one row need distinct
+    sublanes with a free cell at the row's lane (first-fit handles;
+    extreme rows fragment bins across chunks).
     """
     dt = np.dtype(dtype)
     G = int(group)
+    cap = int(part_cap)
+    if cap < 1 or cap > LANES or (cap & (cap - 1)):
+        raise SellWBuildError(f"part_cap must be a power of two <= 128 ({cap})")
     if G not in (1, 2, 4, 8):
         raise SellWBuildError(f"group must be a power of two ≤ 8 ({G})")
     m, n, nnz = csr.m, csr.n, csr.nnz
@@ -182,10 +207,13 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
     # native packer tier (native/sparse_host.cpp sellw_pack — identical
     # algorithm, ~50x the Python loop; conversion time is a reported metric)
     from ..io import native as _native
-    if _native.have_sellw_pack() and dt == np.float32 and G == 2:
-        word_n, vals_n, wrow_n, pair_n, bids_n, max_part = (
-            _native.sellw_pack_native(ia, csr.ja, csr.a.astype(np.float32),
-                                      m))
+    if (_native.have_sellw_pack(cap) and dt == np.float32 and G == 2
+            and not (want_idx and not _native.have_sellw_pack(1))):
+        packed = _native.sellw_pack_native(
+            ia, csr.ja, csr.a.astype(np.float32), m, part_cap=cap,
+            want_idx=want_idx)
+        word_n, vals_n, wrow_n, pair_n, bids_n, max_part = packed[:6]
+        idx_n = packed[6] if want_idx else None
         if pair_n.shape[0] > chunk_cap:
             raise SellWBuildError(
                 f"chunk count {pair_n.shape[0]} exceeded {chunk_cap} "
@@ -195,9 +223,9 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
                                                 for g in range(G))
                                           for b in bids_n],
                            max_part, m, n, nnz, csr.nnz_expanded, x_rows,
-                           nblocks, dt, stream_wins, G)
+                           nblocks, dt, stream_wins, G, idx_u=idx_n)
 
-    wrow_l, word_l, vals_l = [], [], []
+    wrow_l, word_l, vals_l, idx_l = [], [], [], []
     chunk_pair, chunk_bids = [], []
     gb_cache = {k: _guard_bits(k) for k in range(1, LANES + 1)}
     max_part = 1
@@ -221,12 +249,22 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
                                       | (np.diff(blk_b) != 0)])
         pend = np.append(pstart[1:], cols_b.size)
         plen = pend - pstart
+        if cap < LANES and plen.size and int(plen.max()) > cap:
+            # split long parts into <= cap sub-parts (see docstring)
+            n_pieces = (plen + cap - 1) // cap
+            idx = np.repeat(np.arange(plen.size), n_pieces)
+            within = (np.arange(idx.size)
+                      - np.repeat(np.cumsum(n_pieces) - n_pieces, n_pieces))
+            pstart = pstart[idx] + within * cap
+            pend = np.minimum(pstart + cap, pend[idx])
+            plen = pend - pstart
         porder = np.lexsort((-plen, blk_b[pstart]))
         queue = list(porder)
         while queue:
             wd = np.zeros((SUB, LANES), np.uint32)
             ex = np.zeros((SUB, LANES), np.uint32)  # eidx/emask (ORed last:
             vv = np.zeros((SUB, LANES), dt)         # lanes overlap slots)
+            iv = np.full((SUB, LANES), -1, np.int32) if want_idx else None
             wr = np.zeros(SUB, np.int32)
             pos = [0] * SUB
             sub_of = {}         # x2d row -> open sublanes (in open order)
@@ -254,6 +292,9 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
                     (cols_b[p:q] % LANES).astype(np.uint32)
                     | (gb_cache[k] << 7))
                 vv[s, pos[s]:pos[s] + k] = vals_b[p:q]
+                if want_idx:
+                    iv[s, pos[s]:pos[s] + k] = np.arange(e0 + p, e0 + q,
+                                                         dtype=np.int32)
                 ex[s, lane] = np.uint32(((pos[s] + k - 1) << 14)
                                         | (1 << 21) | (bid << 22))
                 pos[s] += k
@@ -263,6 +304,8 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
             wrow_l.append(wr)
             word_l.append(wd)
             vals_l.append(vv)
+            if want_idx:
+                idx_l.append(iv)
             chunk_pair.append(pb)
             chunk_bids.append(tuple(bids))
             queue = defer
@@ -276,25 +319,97 @@ def build_sellw(csr: HostCSR, dtype=jnp.float32,
               else np.zeros((0, LANES), dt))
     wrow_u = (np.concatenate(wrow_l) if wrow_l
               else np.zeros(0, np.int32))
+    idx_u = (np.concatenate(idx_l, axis=0) if want_idx and idx_l
+             else (np.zeros((0, LANES), np.int32) if want_idx else None))
     return _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids,
                        max_part, m, n, nnz, csr.nnz_expanded, x_rows,
-                       nblocks, dt, stream_wins, G)
+                       nblocks, dt, stream_wins, G, idx_u=idx_u)
+
+
+def _stage_classes(word_u, nchunks):
+    """Per-chunk required scan depth from the packed guard bits, and a
+    small set of contiguous classes (chunks sorted by depth).
+
+    Guard bit k is set on a slot at in-part position d iff d ≥ 2^k, so the
+    OR of a chunk's guard fields has highest bit ⌊log2(max d)⌋ and
+    ``bit_length(OR) == ceil(log2(max part len))`` — the exact per-chunk
+    stage count. Returns (perm, class list [(n_chunks, stages), ...]).
+    """
+    g = (word_u.view(np.uint32) >> 7) & 0x7F
+    g_or = np.bitwise_or.reduce(g.reshape(nchunks, SUB * LANES), axis=1)
+    stages_c = np.zeros(nchunks, np.int64)
+    nz = g_or > 0
+    stages_c[nz] = np.floor(np.log2(g_or[nz])).astype(np.int64) + 1
+    perm = np.argsort(stages_c, kind="stable")
+    counts = np.bincount(stages_c, minlength=_MAX_STAGES + 1)
+    classes = [(int(c), s) for s, c in enumerate(counts) if c > 0]
+    # merge small classes upward: a pallas_call + its CHUNK_PAD padding is
+    # only worth >= ~2 grid blocks of chunks
+    merged = []
+    for cnt, s in classes:
+        if merged and (merged[-1][0] < 2 * CHUNK_PAD
+                       or cnt < 2 * CHUNK_PAD):
+            pc, _ = merged.pop()
+            merged.append((pc + cnt, s))     # higher stages win (no-op pad)
+        else:
+            merged.append((cnt, s))
+    return perm, merged
 
 
 def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
                 m, n, nnz, nnz_expanded, x_rows, nblocks, dt,
-                stream_wins, G) -> SellW:
-    """Pad the packed chunks, build yidx, assemble the pytree (shared tail
-    of the native and Python packer tiers)."""
+                stream_wins, G, idx_u=None):
+    """Sort chunks into stage classes, pad per class, build yidx, assemble
+    the pytree (shared tail of the native and Python packer tiers).
+
+    With ``idx_u`` (per-slot source-nnz plane, -1 empty) returns
+    ``(SellW, idx_padded)`` — the DS build (ops/sellw_ds.py) uses it to
+    place fp64-pair value planes on the identical routing program."""
     nchunks = len(chunk_pair)
-    npad = ((nchunks + CHUNK_PAD - 1) // CHUNK_PAD) * CHUNK_PAD
+    if nchunks:
+        perm, klasses = _stage_classes(word_u, nchunks)
+        word_u = word_u.reshape(nchunks, SUB, LANES)[perm].reshape(-1, LANES)
+        vals_u = vals_u.reshape(nchunks, SUB, LANES)[perm].reshape(-1, LANES)
+        wrow_u = wrow_u.reshape(nchunks, SUB)[perm].reshape(-1)
+        if idx_u is not None:
+            idx_u = idx_u.reshape(nchunks, SUB, LANES)[perm].reshape(
+                -1, LANES)
+        chunk_pair = [chunk_pair[p] for p in perm]
+        chunk_bids = [chunk_bids[p] for p in perm]
+    else:
+        klasses = [(0, 0)]
+
+    # lay classes out contiguously, each padded to a CHUNK_PAD multiple
+    classes = []
+    padded_pos = np.zeros(max(nchunks, 1), np.int64)
+    npad = 0
+    src = 0
+    seg_src, seg_dst, seg_len = [], [], []
+    for cnt, s in klasses:
+        n_pad = ((cnt + CHUNK_PAD - 1) // CHUNK_PAD) * CHUNK_PAD
+        if cnt:
+            padded_pos[src: src + cnt] = npad + np.arange(cnt)
+            seg_src.append(src)
+            seg_dst.append(npad)
+            seg_len.append(cnt)
+        classes.append((npad, n_pad, s))
+        npad += n_pad
+        src += cnt
+    npad = max(npad, CHUNK_PAD)
+
     word = np.zeros((npad * SUB, LANES), np.uint32)
     vals = np.zeros((npad * SUB, LANES), dt)
     wrow = np.zeros(npad * SUB, np.int32)
-    if nchunks:
-        word[: nchunks * SUB] = word_u
-        vals[: nchunks * SUB] = vals_u
-        wrow[: nchunks * SUB] = wrow_u
+    idxp = (np.full((npad * SUB, LANES), -1, np.int32)
+            if idx_u is not None else None)
+    for s0, d0, ln in zip(seg_src, seg_dst, seg_len):
+        word[d0 * SUB: (d0 + ln) * SUB] = word_u[s0 * SUB: (s0 + ln) * SUB]
+        vals[d0 * SUB: (d0 + ln) * SUB] = vals_u[s0 * SUB: (s0 + ln) * SUB]
+        wrow[d0 * SUB: (d0 + ln) * SUB] = wrow_u[s0 * SUB: (s0 + ln) * SUB]
+        if idxp is not None:
+            idxp[d0 * SUB: (d0 + ln) * SUB] = idx_u[s0 * SUB:
+                                                    (s0 + ln) * SUB]
+
     # output rows: group-member g's partials live at [g·npad, (g+1)·npad),
     # the all-zero row at G·npad
     slot = np.zeros(max(nblocks, 1), np.int64)
@@ -303,7 +418,7 @@ def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
         for bid in range(G):
             b = G * pb + bid
             if bids[bid] and b < nblocks:
-                entries.append((b, c + bid * npad))
+                entries.append((b, int(padded_pos[c]) + bid * npad))
                 slot[b] += 1
     K = max(int(slot.max()) if nblocks else 1, 1)
     if K > 64:
@@ -314,13 +429,17 @@ def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
         yidx[slot[b], b] = row
         slot[b] += 1
 
-    return SellW(word=jnp.asarray(word.view(np.int32)),
-                 vals=jnp.asarray(vals), wrow=jnp.asarray(wrow),
-                 yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
-                 nnz_expanded=nnz_expanded, nchunks=nchunks,
-                 x_rows=x_rows, K=K,
-                 stages=int(max_part - 1).bit_length(),
-                 stream_wins=stream_wins, G=G)
+    A = SellW(word=jnp.asarray(word.view(np.int32)),
+              vals=jnp.asarray(vals), wrow=jnp.asarray(wrow),
+              yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
+              nnz_expanded=nnz_expanded, nchunks=nchunks,
+              x_rows=x_rows, K=K,
+              stages=int(max_part - 1).bit_length(),
+              stream_wins=stream_wins, G=G,
+              classes=tuple(classes))
+    if idxp is not None:
+        return A, idxp
+    return A
 
 
 # ---------------------------------------------------------------- execution
@@ -368,14 +487,15 @@ def _extract_planes(G, nB, w, E):
                     .reshape(nB, SUB, LANES), axis=1) for g in range(G)]
 
 
-def _sellw_kernel(nB, stages, G, wrow_ref, word_ref, val_ref, x2d_ref,
+def _sellw_kernel(nB, stages, G, base, wrow_ref, word_ref, val_ref, x2d_ref,
                   *orefs_wins):
-    """One grid step: nB chunks, all stages batched over (8·nB, 128)."""
+    """One grid step: nB chunks, all stages batched over (8·nB, 128).
+    ``base`` = the stage class's first chunk (wrow is passed whole)."""
     orefs, wins_ref = orefs_wins[:G], orefs_wins[G]
     i = pl.program_id(0)
 
     def fill(j, _):
-        wr = wrow_ref[i * nB * SUB + j]
+        wr = wrow_ref[(base + i * nB) * SUB + j]
         wins_ref[pl.ds(j, 1), :] = x2d_ref[pl.ds(wr, 1), :]
         return 0
 
@@ -404,40 +524,67 @@ def _sellw_stream_kernel(nB, stages, G, wins_ref, word_ref, val_ref,
         orefs[g][:] = z
 
 
+def _class_plan(A: SellW):
+    """((start_chunk, n_chunks, stages), ...) — stage classes when the
+    build recorded them, else one global-stages class (old cache entries)."""
+    nch = A.wrow.shape[0] // SUB
+    cls = [c for c in (A.classes or ()) if c[1] > 0]
+    if not cls:
+        cls = [(0, nch, A.stages)]
+    return cls, nch
+
+
 @register_spmv("SELLW", "pallas")
 def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
-    nch = A.wrow.shape[0] // SUB
-    nB = min(CHUNK_PAD, nch)
+    classes, nch = _class_plan(A)
     x2d = _x_plane(A, x, A.vals.dtype)
     interpret = jax.default_backend() not in ("tpu",)
-    blk = lambda i: (i, 0)  # noqa: E731
-    vspec = pl.BlockSpec((nB * SUB, LANES), blk, memory_space=pltpu.VMEM)
-    ospecs = tuple(pl.BlockSpec((nB, LANES), blk, memory_space=pltpu.VMEM)
-                   for _ in range(A.G))
-    oshape = tuple(jax.ShapeDtypeStruct((nch, LANES), A.vals.dtype)
-                   for _ in range(A.G))
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    if A.stream_wins:
-        wins = x2d.at[A.wrow].get(mode="promise_in_bounds")
-        planes = pl.pallas_call(
-            partial(_sellw_stream_kernel, nB, A.stages, A.G),
-            out_shape=oshape, grid=(nch // nB,),
-            in_specs=[vspec, vspec, vspec], out_specs=ospecs,
-            compiler_params=params, interpret=interpret,
-        )(wins, A.word, A.vals)
+    wins = (x2d.at[A.wrow].get(mode="promise_in_bounds")
+            if A.stream_wins else None)
+    parts = []      # per-class G-tuples of (n_pad_c, LANES) planes
+    for start, cnt, stages in classes:
+        nB = min(CHUNK_PAD, cnt)
+        base_blk = start // nB
+        blk = lambda i, b=base_blk: (i + b, 0)  # noqa: E731
+        vspec = pl.BlockSpec((nB * SUB, LANES), blk,
+                             memory_space=pltpu.VMEM)
+        oblk = lambda i: (i, 0)  # noqa: E731
+        ospecs = tuple(pl.BlockSpec((nB, LANES), oblk,
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(A.G))
+        oshape = tuple(jax.ShapeDtypeStruct((cnt, LANES), A.vals.dtype)
+                       for _ in range(A.G))
+        if A.stream_wins:
+            planes = pl.pallas_call(
+                partial(_sellw_stream_kernel, nB, stages, A.G),
+                out_shape=oshape, grid=(cnt // nB,),
+                in_specs=[vspec, vspec, vspec], out_specs=ospecs,
+                compiler_params=params, interpret=interpret,
+            )(wins, A.word, A.vals)
+        else:
+            planes = pl.pallas_call(
+                partial(_sellw_kernel, nB, stages, A.G, start),
+                out_shape=oshape, grid=(cnt // nB,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec,
+                    pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=ospecs,
+                scratch_shapes=[pltpu.VMEM((nB * SUB, LANES),
+                                           A.vals.dtype)],
+                compiler_params=params, interpret=interpret,
+            )(A.wrow, A.word, A.vals, x2d)
+        parts.append(planes)
+    if len(parts) == 1:
+        planes = parts[0]
     else:
-        planes = pl.pallas_call(
-            partial(_sellw_kernel, nB, A.stages, A.G),
-            out_shape=oshape, grid=(nch // nB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec,
-                pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=ospecs,
-            scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
-            compiler_params=params, interpret=interpret,
-        )(A.wrow, A.word, A.vals, x2d)
+        planes = [jnp.concatenate([p[g] for p in parts], axis=0)
+                  for g in range(A.G)]
+    if planes[0].shape[0] < nch:      # trailing all-pad region (empty build)
+        pad = nch - planes[0].shape[0]
+        planes = [jnp.pad(p, ((0, pad), (0, 0))) for p in planes]
     return _combine_y(A, planes)
 
 
