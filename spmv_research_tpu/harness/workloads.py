@@ -248,14 +248,15 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
     n_pairs_total = sum(bp.npairs for bp in plans)
     nnz_c_total = sum(bp.nnz_c for bp in plans)
 
-    from ..ops.spgemm import _scan_numeric
+    from ..ops.spgemm import _scan_numeric_plane
 
     # plan leaves travel as chain ARGUMENTS: closed-over arrays become HLO
     # constants and the remote compiler rejects big programs with HTTP 413
     # (raefsky3's ~100M-pair plan, round-3 sweep)
     plan_leaves = []
     for bp in plans:
-        plan_leaves += [bp.av, bp.bv, bp.guard, bp.rowg, bp.head, bp.corr]
+        plan_leaves += [bp.av, bp.bv, bp.guard, bp.rowg, bp.cross_lane,
+                        bp.headmask]
 
     def fn(carry, *ls):
         # the numeric-phase INPUT must depend on the chain carry: a
@@ -265,9 +266,10 @@ def bench_spgemm(host: HostCSR, *, config: Optional[BenchConfig] = None,
         eps = carry.reshape(-1)[0] * 1e-30
         tot = jnp.zeros((), jnp.float32)
         for i, bp in enumerate(plans):
-            av, bv, guard, rowg, head, corr = ls[6 * i: 6 * i + 6]
-            got = _scan_numeric(av * (1.0 + eps), bv, guard, rowg, head,
-                                corr, stages=bp.stages, cstages=bp.cstages)
+            av, bv, guard, rowg, cl, hm = ls[6 * i: 6 * i + 6]
+            got = _scan_numeric_plane(av * (1.0 + eps), bv, guard, rowg,
+                                      cl, hm, stages=bp.stages,
+                                      cstages=bp.cstages)
             tot = tot + got.sum()
         return carry + tot * 1e-30
 

