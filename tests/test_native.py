@@ -124,7 +124,7 @@ def test_native_sellw_pack_matches_python(rng):
     for host in cases:
         A_native = sw.build_sellw(host, max_chunk_factor=1e9)
         orig = native.have_sellw_pack
-        native.have_sellw_pack = lambda: False
+        native.have_sellw_pack = lambda *a, **k: False
         try:
             A_py = sw.build_sellw(host, max_chunk_factor=1e9)
         finally:

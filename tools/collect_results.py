@@ -13,20 +13,27 @@ from collections import OrderedDict
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def merge(out_dir="out_logs_r2", results_dir="results"):
+def merge(out_dirs="out_logs_r2", results_dir="results"):
+    """out_dirs: one dir or a list; later dirs win on key collisions.
+    K-sweep dirs (…_kNN) tag their rows' K from the dir name."""
+    if isinstance(out_dirs, str):
+        out_dirs = [out_dirs]
     os.makedirs(results_dir, exist_ok=True)
     merged = {}
-    for fname in sorted(os.listdir(out_dir)):
-        if not fname.endswith(".csv"):
+    for out_dir in out_dirs:
+        if not os.path.isdir(out_dir):
             continue
-        wl = fname.rsplit("_", 1)[-1][:-4]           # spmv/spmm/...
-        with open(os.path.join(out_dir, fname)) as f:
-            rows = list(csv.DictReader(f))
-        dst = merged.setdefault(wl, OrderedDict())
-        for r in rows:
-            key = (r.get("matrix_name"), r.get("format_name"),
-                   r.get("impl", ""), r.get("K", ""))
-            dst[key] = r
+        for fname in sorted(os.listdir(out_dir)):
+            if not fname.endswith(".csv"):
+                continue
+            wl = fname.rsplit("_", 1)[-1][:-4]       # spmv/spmm/...
+            with open(os.path.join(out_dir, fname)) as f:
+                rows = list(csv.DictReader(f))
+            dst = merged.setdefault(wl, OrderedDict())
+            for r in rows:
+                key = (r.get("matrix_name"), r.get("format_name"),
+                       r.get("impl", ""), r.get("K", ""))
+                dst[key] = r
     for wl, rows in merged.items():
         path = os.path.join(results_dir, f"corpus_{wl}.csv")
         rows = list(rows.values())
@@ -79,8 +86,8 @@ def workloads_summary(merged):
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "out_logs_r2"
-    merged, best = merge(out_dir)
+    out_dirs = sys.argv[1:] or ["out_logs_r2"]
+    merged, best = merge(out_dirs)
     lines = ["# Corpus summary — SpMV on the validation twins (TPU v5e)", "",
              "| matrix | best engine | Gnnz/s | GFLOPS | roofline frac | "
              "speedup vs XLA-CSR |", "|---|---|---|---|---|---|"]
@@ -96,10 +103,20 @@ def main():
             geo += math.log(b[0] / base[0]); geo_n += 1
         lines.append(f"| {name} | {b[1]} | {b[0] / 2:.2f} | {b[0]:.2f} | "
                      f"{b[2]:.4f} | {sp} |")
+    geo_rf, geo_rf_n = 0.0, 0
+    for name in sorted(best):
+        b2 = best[name]["best"]
+        if b2 is not None and b2[2] > 0:
+            geo_rf += math.log(b2[2]); geo_rf_n += 1
     if geo_n:
         lines.append("")
         lines.append(f"Geomean speedup vs the XLA-gather CSR baseline over "
                      f"{geo_n} matrices: **{math.exp(geo / geo_n):.0f}x**.")
+    if geo_rf_n:
+        lines.append("")
+        lines.append(f"Geomean best-engine roofline fraction over "
+                     f"{geo_rf_n} matrices: "
+                     f"**{math.exp(geo_rf / geo_rf_n):.3f}**.")
     lines.extend(workloads_summary(merged))
     with open("results/SUMMARY.md", "w") as f:
         f.write("\n".join(lines) + "\n")
