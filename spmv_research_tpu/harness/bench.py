@@ -204,8 +204,11 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
     # stored-CSR stream, so an expanded-nnz rate would inflate the
     # fraction ~2x (ADVICE r2 #3). gflops keeps the reference's
     # expanded-nnz definition (bench_spmv.cpp:404).
+    # double-single formats carry 8 B of value per nnz (hi+lo planes):
+    # their fair roofline is the fp64-CSR stream, not the fp32 one
+    val_bytes = 8 if hasattr(A, "spmv_f64") else dtype.itemsize
     sol_nnz_s = rl.csr_roofline_nnz_per_s(host.nnz, host.m, host.n,
-                                          dtype.itemsize, spec)
+                                          val_bytes, spec)
     achieved_gbps = rl.spmv_bytes(A) / t_med / 1e9
 
     return BenchResult(

@@ -35,7 +35,11 @@ class BenchConfig:
     dtype: str = "float32"          # ValueType (f64 gold is always host-side)
 
     # --- matrix transforms (bench.cpp:588-598) ---
-    use_rcm_reordering: bool = False
+    # False | True | "auto" (rcm_if_beneficial: keep the reorder only when
+    # mean row bandwidth drops — RCM scrambles generator-banded matrices,
+    # DESIGN_NOTES "RCM policy"; the reference's flag is opt-in for the
+    # same reason)
+    use_rcm_reordering: object = False
     fix_diagonal_zeros: bool = False
     matrix_transform: Optional[str] = None  # spd | dd (solver-dataset analogs)
 
@@ -56,7 +60,9 @@ class BenchConfig:
     def from_env() -> "BenchConfig":
         """Honor the reference's env-var names where meaningful on TPU."""
         c = BenchConfig()
-        c.use_rcm_reordering = bool(_env("USE_RCM_REORDERING", int, 0))
+        rcm = os.environ.get("USE_RCM_REORDERING", "")
+        c.use_rcm_reordering = ("auto" if rcm == "auto"
+                                else bool(_env("USE_RCM_REORDERING", int, 0)))
         c.fix_diagonal_zeros = bool(_env("FIX_DIAGONAL_ZEROS", int, 0))
         c.k_dim = _env("K_DIM", int, c.k_dim)
         c.cg_max_num_iters = _env("CG_MAX_NUM_ITERS", int, c.cg_max_num_iters)

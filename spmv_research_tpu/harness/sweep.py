@@ -98,7 +98,10 @@ def load_matrix(spec: str, cfg: BenchConfig):
         name = f"{name}_{cfg.matrix_transform}"   # honest labeling
     if cfg.fix_diagonal_zeros:
         host = fix_diagonal_zeros(host)
-    if cfg.use_rcm_reordering:
+    if cfg.use_rcm_reordering == "auto":
+        from ..convert.reorder import rcm_if_beneficial
+        host, _ = rcm_if_beneficial(host)
+    elif cfg.use_rcm_reordering:
         host, _ = rcm_reorder(host)
     t_read = time.time() - t0
     print(f"# read+transform {name}: m={host.m} nnz={host.nnz} "
