@@ -37,8 +37,10 @@ def merge(out_dirs="out_logs_r2", results_dir="results"):
     for wl, rows in merged.items():
         path = os.path.join(results_dir, f"corpus_{wl}.csv")
         rows = list(rows.values())
+        fields = list(OrderedDict(
+            (k, None) for r in rows for k in r.keys()))
         with open(path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=rows[0].keys())
+            w = csv.DictWriter(f, fieldnames=fields, restval="")
             w.writeheader()
             w.writerows(rows)
         print(f"wrote {path} ({len(rows)} rows)")
@@ -47,6 +49,8 @@ def merge(out_dirs="out_logs_r2", results_dir="results"):
     best = {}
     for r in spmv:
         name = r["matrix_name"]
+        if name.endswith(("_spd", "_dd")):
+            continue      # solver-analog rows, not the SpMV corpus
         try:
             g = float(r["gflops"])
         except (ValueError, KeyError):
