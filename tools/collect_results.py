@@ -31,6 +31,14 @@ def merge(out_dirs="out_logs_r2", results_dir="results"):
                 rows = list(csv.DictReader(f))
             dst = merged.setdefault(wl, OrderedDict())
             for r in rows:
+                # accuracy gate: a NaN error metric is a failed run, never
+                # corpus evidence (round-3 verdict, weak #2)
+                acc = r.get("mape", r.get("spmv_mape", ""))
+                if str(acc).strip().lower() in ("nan", "-nan", "inf"):
+                    print(f"  dropped NaN-accuracy row: "
+                          f"{r.get('matrix_name')}/{r.get('format_name')} "
+                          f"({out_dir}/{fname})")
+                    continue
                 key = (r.get("matrix_name"), r.get("format_name"),
                        r.get("impl", ""), r.get("K", ""))
                 dst[key] = r
