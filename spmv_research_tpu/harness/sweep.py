@@ -77,6 +77,8 @@ from ..ops.compensated import build_csrds as _build_csrds
 FORMAT_BUILDERS["csrds"] = lambda h, dtype: _build_csrds(h)
 from ..ops.sellw_ds import build_sellwds as _build_sellwds
 FORMAT_BUILDERS["sellwds"] = _cached(_build_sellwds, "sellwds")
+from ..ops.densemv import build_dense as _build_dense
+FORMAT_BUILDERS["dense"] = lambda h, dtype: _build_dense(h, dtype=dtype)
 
 
 def load_matrix(spec: str, cfg: BenchConfig):
