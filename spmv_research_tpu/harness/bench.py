@@ -66,6 +66,7 @@ class BenchResult:
     time_convert: float = 0.0
     time_compile: float = 0.0
     time_convert_cold: float = 0.0
+    roofline_kind: str = "csr32"
 
 
 REAL_LABELS = (
@@ -84,13 +85,26 @@ SYNTH_LABELS = (
     "W_avg,J_estimated"
 )
 
-# TPU-native extension columns appended to either schema
-TPU_EXTRA_LABELS = ",achieved_GBps,roofline_frac,time_convert,time_compile"
+# TPU-native extension columns appended to either schema.
+# roofline_kind names the denominator of roofline_frac explicitly so merged
+# CSVs can never silently mix definitions (round-4 verdict, weak #5):
+#   csr32 — fp32-CSR storage speed-of-light (the default)
+#   csr64 — fp64-CSR stream (double-single formats: 8 B of value per nnz)
+TPU_EXTRA_LABELS = (",achieved_GBps,roofline_frac,roofline_kind,"
+                    "time_convert,time_compile")
+
+# The reference's synthetic schema drops the accuracy columns
+# (bench_spmv.cpp:529-563); ours re-adds the 8 error metrics as TPU-extra
+# columns so fp64-gate evidence lives in the committed rows (weak #6).
+SYNTH_METRIC_LABELS = (",spmv_mae,spmv_max_ae,spmv_mse,spmv_mape,spmv_smape,"
+                       "spmv_lnQ_error,spmv_mlare,spmv_gmare")
 
 
 def csv_labels(synthetic: bool = False, tpu_extra: bool = True) -> str:
     base = SYNTH_LABELS if synthetic else REAL_LABELS
-    return base + (TPU_EXTRA_LABELS if tpu_extra else "")
+    if not tpu_extra:
+        return base
+    return base + TPU_EXTRA_LABELS + (SYNTH_METRIC_LABELS if synthetic else "")
 
 
 def _scale_for_iteration(host: HostCSR, A):
@@ -237,6 +251,7 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
         time_compile=time_compile,
         time_convert_cold=(time_convert if time_convert_cold is None
                            else time_convert_cold),
+        roofline_kind="csr64" if val_bytes == 8 else "csr32",
     )
 
 
@@ -256,6 +271,7 @@ def csv_row_real(r: BenchResult, tpu_extra: bool = True) -> str:
     row = ",".join(str(v) for v in f)
     if tpu_extra:
         row += (f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},"
+                f"{r.roofline_kind},"
                 f"{r.time_convert:.4f},{r.time_compile:.3f}")
     return row
 
@@ -286,7 +302,9 @@ def csv_row_synthetic(r: BenchResult, params, feats, tpu_extra: bool = True) -> 
     row = ",".join(str(v) for v in f)
     if tpu_extra:
         row += (f",{r.achieved_gbps:.3f},{r.roofline_frac:.4f},"
+                f"{r.roofline_kind},"
                 f"{r.time_convert:.4f},{r.time_compile:.3f}")
+        row += "," + ",".join(f"{v:.6g}" for v in r.metrics.as_csv_fields())
     return row
 
 

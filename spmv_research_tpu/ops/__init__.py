@@ -24,6 +24,10 @@ from . import btile     # registers BTILE MXU spmm/sddmm impls
 from .btile import build_btile, BTile
 from . import compensated  # registers CSRDS (fp64-parity double-single)
 from .compensated import build_csrds, CsrDS, spmv_csrds_f64
+from . import densemv   # registers DENSE fallback (xla matvec plane)
+from .densemv import build_dense, DenseMV
+from . import csr_chunked  # registers CSR/xlac (crash-safe XL baseline)
+from .csr_chunked import build_csr_chunked, CSRChunked
 from . import sellw_ds  # registers SELLWDS (fp64 parity AT SPEED)
 from .sellw_ds import build_sellwds, SellWDS, spmv_sellwds_f64
 from .spgemm import spgemm, spgemm_symbolic, SpGEMMPlan

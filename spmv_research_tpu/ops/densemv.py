@@ -77,7 +77,9 @@ def build_dense(host: HostCSR, dtype=jnp.float32,
             f"{max_bytes / 1e9:.1f} GB budget (m={m}, n={n})")
     dense = np.zeros((mp, npad), dtype=np.dtype(dtype))
     rows = np.repeat(np.arange(m), host.row_lengths())
-    dense[rows, host.ja] = host.a.astype(dense.dtype)
+    # sum duplicate (row, col) entries like the CSR gold does (plain
+    # fancy-assignment keeps only the last duplicate)
+    np.add.at(dense, (rows, host.ja), host.a.astype(dense.dtype))
     return DenseMV(mat=jnp.asarray(dense), shape=(m, n), nnz=host.nnz,
                    nnz_expanded=host.nnz_expanded)
 
@@ -94,17 +96,9 @@ def spmv_dense_xla(A: DenseMV, x: jnp.ndarray) -> jnp.ndarray:
     return y[: A.m]
 
 
-# the dense matvec IS the TPU-native kernel — register it as the pallas
-# (engine-plane) impl too so `spmv(A, x)` picks it on TPU backends
-register_spmv("DENSE", "pallas")(spmv_dense_xla)
-
-
 @register_spmm("DENSE", "xla")
 def spmm_dense_xla(A: DenseMV, X: jnp.ndarray) -> jnp.ndarray:
     npad = A.mat.shape[1]
     Xp = jnp.pad(X.astype(A.mat.dtype),
                  ((0, npad - X.shape[0]), (0, 0)))
     return jnp.dot(A.mat, Xp, preferred_element_type=jnp.float32)[: A.m]
-
-
-register_spmm("DENSE", "pallas")(spmm_dense_xla)

@@ -6,6 +6,7 @@ Dedup rule: last row wins per (matrix, format_name) — format_name already
 encodes the impl variant (reference naming style).
 """
 import csv
+import math
 import os
 import sys
 from collections import OrderedDict
@@ -31,17 +32,48 @@ def merge(out_dirs="out_logs_r2", results_dir="results"):
                 rows = list(csv.DictReader(f))
             dst = merged.setdefault(wl, OrderedDict())
             for r in rows:
-                # accuracy gate: a NaN error metric is a failed run, never
-                # corpus evidence (round-3 verdict, weak #2)
-                acc = r.get("mape", r.get("spmv_mape", ""))
-                if str(acc).strip().lower() in ("nan", "-nan", "inf"):
-                    print(f"  dropped NaN-accuracy row: "
+                # accuracy gate: a non-finite error metric is a failed run,
+                # never corpus evidence (round-3 verdict, weak #2). Parse
+                # numerically so -inf/+nan spellings can't slip through.
+                bad = False
+                for col in ("mape", "spmv_mape", "max_ae", "spmv_max_ae"):
+                    if col not in r:
+                        continue
+                    try:
+                        v = float(r[col])
+                    except (TypeError, ValueError):
+                        bad = True
+                        break
+                    if not math.isfinite(v):
+                        bad = True
+                        break
+                if bad:
+                    print(f"  dropped non-finite-accuracy row: "
                           f"{r.get('matrix_name')}/{r.get('format_name')} "
                           f"({out_dir}/{fname})")
                     continue
                 key = (r.get("matrix_name"), r.get("format_name"),
                        r.get("impl", ""), r.get("K", ""))
                 dst[key] = r
+    # roofline-denominator consistency: a merge must never silently mix
+    # csr32/csr64 fractions for the same (matrix, format) family. Rows
+    # predating the roofline_kind column are inferred from the format name
+    # (double-single formats were the only csr64 emitters).
+    for wl, rows in merged.items():
+        kinds = {}
+        for r in rows.values():
+            kind = (r.get("roofline_kind") or "").strip()
+            if not kind:
+                fmt = r.get("format_name", "")
+                kind = "csr64" if "DS" in fmt.split("_")[0] or \
+                    fmt.startswith(("CSRDS", "SELLWDS")) else "csr32"
+                r["roofline_kind"] = kind
+            fam = (r.get("matrix_name"), r.get("format_name"))
+            prev = kinds.setdefault(fam, kind)
+            if prev != kind:
+                raise SystemExit(
+                    f"mixed roofline denominators for {fam} in workload "
+                    f"{wl}: {prev} vs {kind} — regenerate one side")
     for wl, rows in merged.items():
         path = os.path.join(results_dir, f"corpus_{wl}.csv")
         rows = list(rows.values())
