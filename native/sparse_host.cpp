@@ -339,12 +339,22 @@ int32_t waksman_route(const int64_t* s_in, const int64_t* t_in,
 // tier this replaces: cycle walking is O(E) per level vs argsort+pointer-
 // doubling O(E log E), and dominates CLOSG program build time).
 //
-// Euler-split recursion: per level, pair edges sharing a (color-class, left
-// vertex) and likewise on the right (counting-sort bucket grouping; bucket
-// sizes are even so consecutive pairing never straddles buckets), then walk
-// the alternating pl/pr cycles assigning the new color bit by position
-// parity. Returns 0, or -1 when the key space exceeds the allocator guard
-// (caller falls back to numpy).
+// Euler-split recursion over a MAINTAINED edge layout: the edge table is
+// kept physically sorted by (color-class, left vertex) across levels (class
+// boundaries live in a segment table, not a per-edge color array). That
+// buys, per level:
+//   * L-side pairing for free — equal-left runs are contiguous and start
+//     at even offsets (degrees are powers of two), so the L-partner of the
+//     edge at position j is position j^1;
+//   * class-contiguous cycle walks — both pairings stay inside one class
+//     segment, so the walk's working set shrinks 2x per level and drops
+//     into cache at depth (the walk was ~6 random accesses/edge/level in
+//     the previous formulation and dominated CLOSG build time);
+//   * the class split is a stable two-cursor partition (sequential passes),
+//     which also preserves the left-vertex sort for the next level.
+// Only the R-side counting sort still makes global random accesses.
+// Returns 0, or -1 when the key space exceeds the allocator guard (caller
+// falls back to numpy).
 int32_t euler_edge_color(const int64_t* left, const int64_t* right,
                          int64_t E, int32_t levels, int32_t* color) {
   if (E <= 0) return 0;
@@ -362,45 +372,94 @@ int32_t euler_edge_color(const int64_t* left, const int64_t* right,
   // memory-constrained workers before the numpy fallback could engage)
   if (kmax > (1LL << 26) || E > (1LL << 30)) return -1;
   const int32_t n = (int32_t)E;
-  std::vector<int32_t> pl(n), pr(n), order(n), cnt;
-  std::vector<int32_t> lv(n), rv(n);
-  for (int32_t i = 0; i < n; ++i) lv[i] = (int32_t)left[i];
-  for (int32_t i = 0; i < n; ++i) rv[i] = (int32_t)right[i];
-  std::vector<char> seen(n);
-  std::fill(color, color + n, 0);
+  if (levels <= 0) {
+    std::fill(color, color + n, 0);
+    return 0;
+  }
 
-  auto build_pair = [&](const int32_t* vert, int32_t nv,
-                        std::vector<int32_t>& pair, int32_t ncls) {
-    const int32_t K = ncls * nv;
-    cnt.assign((size_t)K + 1, 0);
-    for (int32_t i = 0; i < n; ++i) cnt[color[i] * nv + vert[i] + 1]++;
-    for (int32_t k = 0; k < K; ++k) cnt[k + 1] += cnt[k];
-    for (int32_t i = 0; i < n; ++i)
-      order[cnt[color[i] * nv + vert[i]]++] = i;
-    for (int32_t j = 0; j + 1 < n; j += 2) {
-      pair[order[j]] = order[j + 1];
-      pair[order[j + 1]] = order[j];
-    }
-  };
+  // double-buffered edge table (left vertex, right vertex, original id)
+  std::vector<int32_t> lvA(n), rvA(n), idA(n), lvB(n), rvB(n), idB(n);
+  std::vector<int32_t> orderR(n), pr2(n), cnt;
+  std::vector<uint8_t> bit(n);
+
+  // initial counting sort by left vertex (single class)
+  cnt.assign((size_t)nl + 1, 0);
+  for (int32_t i = 0; i < n; ++i) cnt[left[i] + 1]++;
+  for (int64_t k = 0; k < nl; ++k) cnt[k + 1] += cnt[k];
+  for (int32_t i = 0; i < n; ++i) {
+    const int32_t p = cnt[left[i]]++;
+    lvA[p] = (int32_t)left[i];
+    rvA[p] = (int32_t)right[i];
+    idA[p] = i;
+  }
+
+  int32_t *lv = lvA.data(), *rv = rvA.data(), *id = idA.data();
+  int32_t *lvn = lvB.data(), *rvn = rvB.data(), *idn = idB.data();
+  std::vector<int32_t> segs, segs2;
+  segs.push_back(0);
+  segs.push_back(n);
 
   for (int32_t lvl = 0; lvl < levels; ++lvl) {
-    const int32_t ncls = 1 << lvl;
-    build_pair(lv.data(), (int32_t)nl, pl, ncls);
-    build_pair(rv.data(), (int32_t)nr, pr, ncls);
-    std::fill(seen.begin(), seen.end(), 0);
+    const int32_t ncls = (int32_t)segs.size() - 1;
+    // R-side pairing: counting sort keyed (class, right vertex); every
+    // (class, vertex) bucket has even size and an even start offset, so
+    // consecutive orderR entries pair without straddling buckets
+    const int64_t K = (int64_t)ncls * nr;
+    cnt.assign((size_t)K + 1, 0);
+    for (int32_t c = 0; c < ncls; ++c) {
+      const int64_t base = (int64_t)c * nr;
+      for (int32_t j = segs[c]; j < segs[c + 1]; ++j)
+        cnt[base + rv[j] + 1]++;
+    }
+    for (int64_t k = 0; k < K; ++k) cnt[k + 1] += cnt[k];
+    for (int32_t c = 0; c < ncls; ++c) {
+      const int64_t base = (int64_t)c * nr;
+      for (int32_t j = segs[c]; j < segs[c + 1]; ++j)
+        orderR[cnt[base + rv[j]]++] = j;
+    }
+    for (int32_t t = 0; t + 1 < n; t += 2) {
+      const int32_t a = orderR[t], b = orderR[t + 1];
+      pr2[a] = b;
+      pr2[b] = a;
+    }
+    // alternating-cycle walk: L-partner of j is j^1, R-partner is pr2[j];
+    // both stay inside the class segment (bit 2 marks "unvisited")
+    std::fill(bit.begin(), bit.end(), 2);
     for (int32_t s = 0; s < n; ++s) {
-      if (seen[s]) continue;
+      if (bit[s] != 2) continue;
       int32_t e = s;
-      do {  // alternating cycle: e -pl-> f -pr-> next e; even length
-        seen[e] = 1;
-        color[e] = color[e] * 2;
-        const int32_t f = pl[e];
-        seen[f] = 1;
-        color[f] = color[f] * 2 + 1;
-        e = pr[f];
+      do {
+        bit[e] = 0;
+        const int32_t f = e ^ 1;
+        bit[f] = 1;
+        e = pr2[f];
       } while (e != s);
     }
+    // stable partition of every class by the new bit (keeps the left-
+    // vertex sort inside both halves; class order stays numeric)
+    segs2.clear();
+    segs2.push_back(0);
+    for (int32_t c = 0; c < ncls; ++c) {
+      const int32_t a = segs[c], b = segs[c + 1];
+      int32_t z = 0;
+      for (int32_t j = a; j < b; ++j) z += (bit[j] == 0);
+      int32_t c0 = a, c1 = a + z;
+      for (int32_t j = a; j < b; ++j) {
+        const int32_t d = bit[j] ? c1++ : c0++;
+        lvn[d] = lv[j];
+        rvn[d] = rv[j];
+        idn[d] = id[j];
+      }
+      segs2.push_back(a + z);
+      segs2.push_back(b);
+    }
+    std::swap(lv, lvn);
+    std::swap(rv, rvn);
+    std::swap(id, idn);
+    segs.swap(segs2);
   }
+  for (int32_t c = 0; c < (int32_t)segs.size() - 1; ++c)
+    for (int32_t j = segs[c]; j < segs[c + 1]; ++j) color[id[j]] = c;
   return 0;
 }
 

@@ -160,17 +160,28 @@ def bench_spmv(host: HostCSR, A, *, config: Optional[BenchConfig] = None,
     # baselines don't burn minutes per chain call.
     chain = make_chain_dyn(fn)
     k_lo = 8
-    k_hi = k_lo + max(cfg.inner_iters or 256, cfg.min_num_loops)
     t0 = time.perf_counter()
     _sync(chain(k_lo, xd, A_t))  # compile + warm
     time_compile = time.perf_counter() - t0
+    # Estimate the per-iteration cost from a warm short chain BEFORE issuing
+    # a long one: a single device execution past ~60 s trips the remote TPU
+    # worker ("worker process crashed or restarted" — observed on the kron
+    # twin's 0.35 s/iter baseline under the unconditional 264-iter probe),
+    # so every chain call is capped at ~_CALL_CAP_S expected seconds.
+    _CALL_CAP_S = 25.0
+    t0 = time.perf_counter()
+    _sync(chain(k_lo, xd, A_t))
+    t_iter_est = max((time.perf_counter() - t0) / k_lo, 1e-8)
+    cap_iters = max(int(_CALL_CAP_S / t_iter_est), 8)
+    k_hi = k_lo + min(max(cfg.inner_iters or 256, cfg.min_num_loops),
+                      cap_iters)
     t0 = time.perf_counter()
     _sync(chain(k_hi, xd, A_t))
     t_probe = time.perf_counter() - t0
     if t_probe > 2.0 * cfg.min_time_s:
         # slow kernel: shrink the gap so one hi call ~ min_time_s
         k_hi = k_lo + max(int((k_hi - k_lo) * cfg.min_time_s / t_probe),
-                          cfg.min_num_loops // 4, 8)
+                          min(cfg.min_num_loops // 4, cap_iters), 8)
         _sync(chain(k_hi, xd, A_t))
 
     # Long chains + independent medians: pairing a short `lo` right before

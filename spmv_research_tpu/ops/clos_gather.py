@@ -218,10 +218,13 @@ def build_clos_gather_auto(csr: HostCSR, dtype=jnp.float32,
                 f"rows [{r0},{r1}) exceed a single clos-gather program")
         splits.append(r1)
         r0 = r1
-    chunks = tuple(
-        build_clos_gather(_rows_slice(csr, splits[i], splits[i + 1]),
-                          dtype=dtype, max_N=max_N, value_lut=value_lut)
-        for i in range(len(splits) - 1))
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as _ex:
+        chunks = tuple(_ex.map(
+            lambda i: build_clos_gather(
+                _rows_slice(csr, splits[i], splits[i + 1]),
+                dtype=dtype, max_N=max_N, value_lut=value_lut),
+            range(len(splits) - 1)))
     return ClosGChunked(chunks=chunks, shape=(csr.m, csr.n), nnz=csr.nnz,
                         nnz_expanded=csr.nnz_expanded,
                         row_split=tuple(splits))
