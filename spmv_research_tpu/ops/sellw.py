@@ -87,7 +87,8 @@ class SellWBuildError(ValueError):
     pass
 
 
-@partial(_register, data_fields=("word", "vals", "wrow", "yidx"),
+@partial(_register, data_fields=("word", "vals", "wrow", "yidx",
+                                 "fbase", "fsel"),
          meta_fields=("shape", "nnz", "nnz_expanded", "nchunks", "x_rows",
                       "K", "stages", "stream_wins", "G", "classes"))
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +97,12 @@ class SellW:
     vals: jnp.ndarray   # (8·nchunks_pad, 128) values (0 in padding)
     wrow: jnp.ndarray   # (8·nchunks_pad,) int32 per-sublane x2d row
     yidx: jnp.ndarray   # (K, nblocks) int32 chunk id per y block (nchunks=0)
+    # batched-fill metadata, derived from wrow at emit: most locality-twin
+    # chunks draw all 8 sublanes from a window of < 8 consecutive x2d rows
+    # (cant 95%, pdb1HYS 97%), so the fill is ONE (8,128) block read + an
+    # in-vreg sublane gather instead of 8 dynamic (1,128) row copies.
+    fbase: jnp.ndarray  # (nchunks_pad,) int32 window base row, -1 = general
+    fsel: jnp.ndarray   # (nchunks_pad,) int32 packed 3-bit wrow-fbase per sublane
     shape: Tuple[int, int]
     nnz: int
     nnz_expanded: int
@@ -429,8 +436,23 @@ def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
         yidx[slot[b], b] = row
         slot[b] += 1
 
+    # batched-fill metadata (see SellW.fbase): per chunk, the window base
+    # and packed per-sublane offsets when all 8 wrows fit an 8-row window
+    wr8 = wrow.reshape(npad, SUB).astype(np.int64)
+    lo = wr8.min(axis=1)
+    span_ok = (wr8.max(axis=1) - lo) < SUB
+    if x_rows >= SUB:
+        fbase = np.where(span_ok, np.minimum(lo, x_rows - SUB), -1)
+    else:
+        fbase = np.full(npad, -1, np.int64)
+    d = np.clip(wr8 - fbase[:, None], 0, SUB - 1)
+    fsel = (d << (3 * np.arange(SUB))[None, :]).sum(axis=1)
+    fsel[fbase < 0] = 0
+
     A = SellW(word=jnp.asarray(word.view(np.int32)),
               vals=jnp.asarray(vals), wrow=jnp.asarray(wrow),
+              fbase=jnp.asarray(fbase.astype(np.int32)),
+              fsel=jnp.asarray(fsel.astype(np.int32)),
               yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
               nnz_expanded=nnz_expanded, nchunks=nchunks,
               x_rows=x_rows, K=K,
@@ -487,19 +509,46 @@ def _extract_planes(G, nB, w, E):
                     .reshape(nB, SUB, LANES), axis=1) for g in range(G)]
 
 
-def _sellw_kernel(nB, stages, G, base, wrow_ref, word_ref, val_ref, x2d_ref,
-                  *orefs_wins):
+def _sellw_kernel(nB, stages, G, base, wrow_ref, fbase_ref, fsel_ref,
+                  word_ref, val_ref, x2d_ref, *orefs_wins):
     """One grid step: nB chunks, all stages batched over (8·nB, 128).
-    ``base`` = the stage class's first chunk (wrow is passed whole)."""
+    ``base`` = the stage class's first chunk (wrow/fbase/fsel passed whole).
+
+    Fill: chunks whose 8 wrows fit an 8-row window (fbase >= 0 — ~95% on
+    the locality twins) load ONE (8,128) block and realign sublanes with an
+    in-vreg gather; the rest fall back to 8 dynamic (1,128) row copies.
+    The round-4 ablation put the 512-copy fill at 161 us of the 619 us
+    kernel (verdict next #3)."""
     orefs, wins_ref = orefs_wins[:G], orefs_wins[G]
     i = pl.program_id(0)
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
 
-    def fill(j, _):
-        wr = wrow_ref[(base + i * nB) * SUB + j]
-        wins_ref[pl.ds(j, 1), :] = x2d_ref[pl.ds(wr, 1), :]
+    w8_possible = x2d_ref.shape[0] >= SUB  # branch only traceable then
+
+    def fill_chunk(j, _):
+        c = base + i * nB + j
+        fb = fbase_ref[c]
+
+        if w8_possible:
+            @pl.when(fb >= 0)
+            def _():
+                blk = x2d_ref[pl.ds(fb, SUB), :]
+                dsel = (fsel_ref[c] >> (3 * iota0)) & 7
+                wins_ref[pl.ds(j * SUB, SUB), :] = jnp.take_along_axis(
+                    blk, dsel, axis=0)
+
+        @pl.when(fb < 0)
+        def _():
+            def fill(s, _):
+                wr = wrow_ref[c * SUB + s]
+                wins_ref[pl.ds(j * SUB + s, 1), :] = x2d_ref[pl.ds(wr, 1), :]
+                return 0
+
+            jax.lax.fori_loop(0, SUB, fill, 0, unroll=True)
+
         return 0
 
-    jax.lax.fori_loop(0, nB * SUB, fill, 0, unroll=True)
+    jax.lax.fori_loop(0, nB, fill_chunk, 0, unroll=True)
     w = word_ref[:]
     v = jnp.take_along_axis(wins_ref[:], w & 0x7F, axis=1) * val_ref[:]
     for k in range(stages):
@@ -567,7 +616,10 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
                 partial(_sellw_kernel, nB, stages, A.G, start),
                 out_shape=oshape, grid=(cnt // nB,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec,
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    vspec, vspec,
                     pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
@@ -575,7 +627,7 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
                 scratch_shapes=[pltpu.VMEM((nB * SUB, LANES),
                                            A.vals.dtype)],
                 compiler_params=params, interpret=interpret,
-            )(A.wrow, A.word, A.vals, x2d)
+            )(A.wrow, A.fbase, A.fsel, A.word, A.vals, x2d)
         parts.append(planes)
     if len(parts) == 1:
         planes = parts[0]
