@@ -320,7 +320,8 @@ def bench_trisolve(host: HostCSR, *, config: Optional[BenchConfig] = None,
     from ..convert import fix_diagonal_zeros
     from ..solvers.ilu import (build_level_schedule, ilu0, ilu0_solve)
 
-    from ..solvers.ilu import build_schedule, ChunkSchedule
+    from ..solvers.ilu import (build_schedule, ChunkSchedule,
+                               BandBlockSchedule)
 
     cfg = config or BenchConfig()
     host = fix_diagonal_zeros(host)
@@ -351,7 +352,12 @@ def bench_trisolve(host: HostCSR, *, config: Optional[BenchConfig] = None,
             "(NaN/garbage level schedule must fail loudly, not ship rows)")
     t_med, loops = _time_fn(fn, (b, Ls, Us), cfg)
     flops = 2.0 * (L.nnz + U.nnz)
-    kind = ("chunk" if isinstance(Ls, ChunkSchedule) else "dense")
+    def _kind(s):
+        if isinstance(s, BandBlockSchedule):
+            return "band"
+        return "chunk" if isinstance(s, ChunkSchedule) else "dense"
+
+    kind = _kind(Ls) if _kind(Ls) == _kind(Us) else f"{_kind(Ls)}+{_kind(Us)}"
     return WorkloadResult(
         workload="trisolve", matrix_name=matrix_name, format_name="ILU0-LVL",
         impl=f"xla-{kind}", k=0, time_iter_median=t_med,
