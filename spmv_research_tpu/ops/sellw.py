@@ -675,22 +675,45 @@ def _spmm_x_planes(A: SellW, X, dtype, kt):
     return jnp.transpose(Xp.reshape(A.x_rows, LANES, Kp), (2, 0, 1))
 
 
-def _sellw_spmm_kernel(nB, stages, G, wrow_ref, word_ref, val_ref, *refs):
+def _sellw_spmm_kernel(nB, stages, G, wrow_ref, fbase_ref, fsel_ref,
+                       word_ref, val_ref, *refs):
     """One grid step, one k-tile of 8: per k, the SpMV pipeline re-runs on
     the k-th x plane while word/vals stay VMEM-resident. Outputs are
-    k-major within the step's block: rows [kk·nB, (kk+1)·nB)."""
+    k-major within the step's block: rows [kk·nB, (kk+1)·nB).
+    Window fills use the same batched W8 path as the SpMV kernel."""
     xrefs, orefs, wins_ref = refs[:8], refs[8:8 + G], refs[8 + G]
     i = pl.program_id(0)
     w = word_ref[:]
     eidx = (w >> 14) & 0x7F
     lane = w & 0x7F
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    w8_possible = xrefs[0].shape[0] >= SUB
     for kk in range(8):
-        def fill(j, _, kk=kk):
-            wr = wrow_ref[i * nB * SUB + j]
-            wins_ref[pl.ds(j, 1), :] = xrefs[kk][pl.ds(wr, 1), :]
+        def fill_chunk(j, _, kk=kk):
+            c = i * nB + j
+            fb = fbase_ref[c]
+
+            if w8_possible:
+                @pl.when(fb >= 0)
+                def _():
+                    blk = xrefs[kk][pl.ds(fb, SUB), :]
+                    dsel = (fsel_ref[c] >> (3 * iota0)) & 7
+                    wins_ref[pl.ds(j * SUB, SUB), :] = jnp.take_along_axis(
+                        blk, dsel, axis=0)
+
+            @pl.when(fb < 0)
+            def _():
+                def fill(s, _):
+                    wr = wrow_ref[c * SUB + s]
+                    wins_ref[pl.ds(j * SUB + s, 1), :] = \
+                        xrefs[kk][pl.ds(wr, 1), :]
+                    return 0
+
+                jax.lax.fori_loop(0, SUB, fill, 0, unroll=True)
+
             return 0
 
-        jax.lax.fori_loop(0, nB * SUB, fill, 0, unroll=True)
+        jax.lax.fori_loop(0, nB, fill_chunk, 0, unroll=True)
         v = jnp.take_along_axis(wins_ref[:], lane, axis=1) * val_ref[:]
         for k in range(stages):
             guard = ((w >> (7 + k)) & 1) != 0
@@ -727,14 +750,17 @@ def spmm_sellw_pallas(A: SellW, X: jnp.ndarray) -> jnp.ndarray:
                 jax.ShapeDtypeStruct((8 * nch, LANES), A.vals.dtype)
                 for _ in range(A.G)),
             grid=(nch // nB,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec]
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec]
             + [xspec] * 8,
             out_specs=(ospec,) * A.G,
             scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(A.wrow, A.word, A.vals, *[Xp[8 * t + kk] for kk in range(8)])
+        )(A.wrow, A.fbase, A.fsel, A.word, A.vals,
+          *[Xp[8 * t + kk] for kk in range(8)])
         # un-interleave the k-major step blocks -> (8, nch, 128)
         planes = [jnp.transpose(o.reshape(nch // nB, 8, nB, LANES),
                                 (1, 0, 2, 3)).reshape(8, nch, LANES)
