@@ -135,6 +135,34 @@ def build_clos_gather_xl(csr: HostCSR, dtype=jnp.float32,
                 "band needs more than 2^20 slots — split rows first)")
         splits.append(r1)
         r0 = r1
+        if len(splits) - 1 > max_chunks:   # fast-fail mid-split
+            raise ClosRoutingError(
+                f"more than {max_chunks} chunks after "
+                f"{r1}/{m} rows — XL cap exceeded")
+
+    # plane-budget guard BEFORE any chunk builds: on ultra-sparse wide
+    # matrices (delaunay_n22 class: ~5 nnz/row over n=4M) the column-block
+    # padding inflates slots ~4x and ysel_w pads every chunk to the max
+    # row count, so the stacked arguments exceed HBM at compile (observed
+    # 17.6 GB on a 16 GB part after an 18-minute build). Fail fast with
+    # the cost model instead; the chunked CSR baseline covers the class.
+    C_est = len(splits) - 1
+    if C_est > max_chunks:
+        # the nnz-based estimate can be wildly optimistic on scattered
+        # matrices (the per-chunk column-block padding forces ~128-row
+        # chunks); enforce the cap on the REAL split
+        raise ClosRoutingError(
+            f"{C_est} chunks after splitting exceed the XL cap "
+            f"({max_chunks})")
+    mrp_est = max(splits[i + 1] - splits[i]
+                  for i in range(C_est)) // LANES + 1
+    plane_b = C_est * (4 * chunk_N * 4 + mrp_est * LANES * 4)
+    if plane_b > 8 << 30:
+        raise ClosRoutingError(
+            f"CLOSGX stacked planes ~{plane_b / 1e9:.1f} GB "
+            f"({C_est} chunks x mrp {mrp_est}; "
+            f"{C_est * chunk_N / max(csr.nnz, 1):.1f} slots/nnz) exceed "
+            "the HBM budget — ultra-sparse wide matrix outside the engine")
 
     # chunk programs are independent; the native coloring releases the GIL
     # and the numpy passes mostly do too, so two build threads overlap the
