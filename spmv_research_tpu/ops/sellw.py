@@ -88,7 +88,7 @@ class SellWBuildError(ValueError):
 
 
 @partial(_register, data_fields=("word", "vals", "wrow", "yidx",
-                                 "fbase", "fsel"),
+                                 "fbase"),
          meta_fields=("shape", "nnz", "nnz_expanded", "nchunks", "x_rows",
                       "K", "stages", "stream_wins", "G", "classes"))
 @dataclasses.dataclass(frozen=True)
@@ -97,12 +97,10 @@ class SellW:
     vals: jnp.ndarray   # (8·nchunks_pad, 128) values (0 in padding)
     wrow: jnp.ndarray   # (8·nchunks_pad,) int32 per-sublane x2d row
     yidx: jnp.ndarray   # (K, nblocks) int32 chunk id per y block (nchunks=0)
-    # batched-fill metadata, derived from wrow at emit: most locality-twin
-    # chunks draw all 8 sublanes from a window of < 8 consecutive x2d rows
-    # (cant 95%, pdb1HYS 97%), so the fill is ONE (8,128) block read + an
-    # in-vreg sublane gather instead of 8 dynamic (1,128) row copies.
-    fbase: jnp.ndarray  # (nchunks_pad,) int32 window base row, -1 = general
-    fsel: jnp.ndarray   # (nchunks_pad,) int32 packed 3-bit wrow-fbase per sublane
+    # uniform-fill metadata, derived from wrow at emit: chunks binding all
+    # 8 sublanes to ONE x2d row (63% on cant — bins wider than 8 sublanes)
+    # fill with a single broadcast row read instead of 8 copies
+    fbase: jnp.ndarray  # (nchunks_pad,) int32 uniform x2d row, -1 = general
     shape: Tuple[int, int]
     nnz: int
     nnz_expanded: int
@@ -436,23 +434,19 @@ def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
         yidx[slot[b], b] = row
         slot[b] += 1
 
-    # batched-fill metadata (see SellW.fbase): per chunk, the window base
-    # and packed per-sublane offsets when all 8 wrows fit an 8-row window
+    # uniform-fill metadata (see SellW.fbase): chunks binding all 8
+    # sublanes to ONE x2d row (63% on cant — bins wider than 8 sublanes)
+    # fill with a single row read broadcast instead of 8 copies. (A
+    # general span<8 block-read + in-vreg sublane gather was measured
+    # SLOWER than the copy loop on v5e — take_along_axis(axis=0) lowers
+    # to a generic path; lab/out r5 201a: cant 22.3 vs 34.1 Gnnz/s.)
     wr8 = wrow.reshape(npad, SUB).astype(np.int64)
-    lo = wr8.min(axis=1)
-    span_ok = (wr8.max(axis=1) - lo) < SUB
-    if x_rows >= SUB:
-        fbase = np.where(span_ok, np.minimum(lo, x_rows - SUB), -1)
-    else:
-        fbase = np.full(npad, -1, np.int64)
-    d = np.clip(wr8 - fbase[:, None], 0, SUB - 1)
-    fsel = (d << (3 * np.arange(SUB))[None, :]).sum(axis=1)
-    fsel[fbase < 0] = 0
+    uniform = (wr8 == wr8[:, :1]).all(axis=1)
+    fbase = np.where(uniform, wr8[:, 0], -1)
 
     A = SellW(word=jnp.asarray(word.view(np.int32)),
               vals=jnp.asarray(vals), wrow=jnp.asarray(wrow),
               fbase=jnp.asarray(fbase.astype(np.int32)),
-              fsel=jnp.asarray(fsel.astype(np.int32)),
               yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
               nnz_expanded=nnz_expanded, nchunks=nchunks,
               x_rows=x_rows, K=K,
@@ -509,33 +503,27 @@ def _extract_planes(G, nB, w, E):
                     .reshape(nB, SUB, LANES), axis=1) for g in range(G)]
 
 
-def _sellw_kernel(nB, stages, G, base, wrow_ref, fbase_ref, fsel_ref,
+def _sellw_kernel(nB, stages, G, base, wrow_ref, fbase_ref,
                   word_ref, val_ref, x2d_ref, *orefs_wins):
     """One grid step: nB chunks, all stages batched over (8·nB, 128).
-    ``base`` = the stage class's first chunk (wrow/fbase/fsel passed whole).
+    ``base`` = the stage class's first chunk (wrow/fbase passed whole).
 
-    Fill: chunks whose 8 wrows fit an 8-row window (fbase >= 0 — ~95% on
-    the locality twins) load ONE (8,128) block and realign sublanes with an
-    in-vreg gather; the rest fall back to 8 dynamic (1,128) row copies.
-    The round-4 ablation put the 512-copy fill at 161 us of the 619 us
-    kernel (verdict next #3)."""
+    Fill: chunks binding all 8 sublanes to one x2d row (fbase >= 0) do a
+    single row read broadcast to (8,128); the rest run the per-sublane
+    copy loop. (The general span<8 block-read + in-vreg sublane gather
+    measured SLOWER on v5e — see the emit-side note.)"""
     orefs, wins_ref = orefs_wins[:G], orefs_wins[G]
     i = pl.program_id(0)
-    iota0 = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-
-    w8_possible = x2d_ref.shape[0] >= SUB  # branch only traceable then
 
     def fill_chunk(j, _):
         c = base + i * nB + j
         fb = fbase_ref[c]
 
-        if w8_possible:
-            @pl.when(fb >= 0)
-            def _():
-                blk = x2d_ref[pl.ds(fb, SUB), :]
-                dsel = (fsel_ref[c] >> (3 * iota0)) & 7
-                wins_ref[pl.ds(j * SUB, SUB), :] = jnp.take_along_axis(
-                    blk, dsel, axis=0)
+        @pl.when(fb >= 0)
+        def _():
+            row = x2d_ref[pl.ds(fb, 1), :]
+            wins_ref[pl.ds(j * SUB, SUB), :] = jnp.broadcast_to(
+                row, (SUB, LANES))
 
         @pl.when(fb < 0)
         def _():
@@ -618,7 +606,6 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
                     vspec, vspec,
                     pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
@@ -627,7 +614,7 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
                 scratch_shapes=[pltpu.VMEM((nB * SUB, LANES),
                                            A.vals.dtype)],
                 compiler_params=params, interpret=interpret,
-            )(A.wrow, A.fbase, A.fsel, A.word, A.vals, x2d)
+            )(A.wrow, A.fbase, A.word, A.vals, x2d)
         parts.append(planes)
     if len(parts) == 1:
         planes = parts[0]
@@ -675,31 +662,27 @@ def _spmm_x_planes(A: SellW, X, dtype, kt):
     return jnp.transpose(Xp.reshape(A.x_rows, LANES, Kp), (2, 0, 1))
 
 
-def _sellw_spmm_kernel(nB, stages, G, wrow_ref, fbase_ref, fsel_ref,
+def _sellw_spmm_kernel(nB, stages, G, wrow_ref, fbase_ref,
                        word_ref, val_ref, *refs):
     """One grid step, one k-tile of 8: per k, the SpMV pipeline re-runs on
     the k-th x plane while word/vals stay VMEM-resident. Outputs are
     k-major within the step's block: rows [kk·nB, (kk+1)·nB).
-    Window fills use the same batched W8 path as the SpMV kernel."""
+    Window fills use the same uniform-broadcast path as the SpMV kernel."""
     xrefs, orefs, wins_ref = refs[:8], refs[8:8 + G], refs[8 + G]
     i = pl.program_id(0)
     w = word_ref[:]
     eidx = (w >> 14) & 0x7F
     lane = w & 0x7F
-    iota0 = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-    w8_possible = xrefs[0].shape[0] >= SUB
     for kk in range(8):
         def fill_chunk(j, _, kk=kk):
             c = i * nB + j
             fb = fbase_ref[c]
 
-            if w8_possible:
-                @pl.when(fb >= 0)
-                def _():
-                    blk = xrefs[kk][pl.ds(fb, SUB), :]
-                    dsel = (fsel_ref[c] >> (3 * iota0)) & 7
-                    wins_ref[pl.ds(j * SUB, SUB), :] = jnp.take_along_axis(
-                        blk, dsel, axis=0)
+            @pl.when(fb >= 0)
+            def _():
+                row = xrefs[kk][pl.ds(fb, 1), :]
+                wins_ref[pl.ds(j * SUB, SUB), :] = jnp.broadcast_to(
+                    row, (SUB, LANES))
 
             @pl.when(fb < 0)
             def _():
@@ -751,7 +734,6 @@ def spmm_sellw_pallas(A: SellW, X: jnp.ndarray) -> jnp.ndarray:
                 for _ in range(A.G)),
             grid=(nch // nB,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pltpu.SMEM),
                       pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec]
             + [xspec] * 8,
             out_specs=(ospec,) * A.G,
@@ -759,7 +741,7 @@ def spmm_sellw_pallas(A: SellW, X: jnp.ndarray) -> jnp.ndarray:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(A.wrow, A.fbase, A.fsel, A.word, A.vals,
+        )(A.wrow, A.fbase, A.word, A.vals,
           *[Xp[8 * t + kk] for kk in range(8)])
         # un-interleave the k-major step blocks -> (8, nch, 128)
         planes = [jnp.transpose(o.reshape(nch // nB, 8, nB, LANES),
