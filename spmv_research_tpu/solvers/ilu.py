@@ -451,8 +451,12 @@ jax.tree_util.register_dataclass(
 
 def build_band_block_schedule(T: HostCSR, lower: bool = True,
                               dtype=jnp.float32, B: int = 512,
-                              max_bytes: int = int(2.5e9)
+                              max_bytes: int = int(5e9)
                               ) -> BandBlockSchedule:
+    # max_bytes 5 GB: the L+U pair of the widest banded solver twin
+    # (mc2depi_dd: 4.8 + 3.3 GB) must fit HBM together with x/b; the
+    # densified strips stream once per solve, so a 4.8 GB schedule still
+    # solves in ~6 ms (~1.5 GFLOPS nominal) vs 0.05 on the chunked walk.
     m = T.m
     if m == 0:
         raise BandScheduleError("empty matrix")
