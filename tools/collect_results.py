@@ -136,12 +136,22 @@ def workloads_summary(merged):
     return lines
 
 
+def _row_kind(fmt: str) -> str:
+    """Per-twin coverage class (round-4 verdict next #1): an ENGINE row,
+    a labeled DENSE fallback, or the CSR baseline standing in."""
+    if fmt.startswith("DENSE"):
+        return "fallback:dense"
+    if fmt.startswith("CSR_"):
+        return "baseline"
+    return "engine"
+
+
 def main():
     out_dirs = sys.argv[1:] or ["out_logs_r2"]
     merged, best = merge(out_dirs)
     lines = ["# Corpus summary — SpMV on the validation twins (TPU v5e)", "",
-             "| matrix | best engine | Gnnz/s | GFLOPS | roofline frac | "
-             "speedup vs XLA-CSR |", "|---|---|---|---|---|---|"]
+             "| matrix | best row | kind | Gnnz/s | GFLOPS | roofline frac |"
+             " speedup vs XLA-CSR |", "|---|---|---|---|---|---|---|"]
     import math
     geo, geo_n = 0.0, 0
     for name in sorted(best):
@@ -152,7 +162,8 @@ def main():
         sp = f"{b[0] / base[0]:.0f}x" if base and base[0] > 0 else "-"
         if base and base[0] > 0:
             geo += math.log(b[0] / base[0]); geo_n += 1
-        lines.append(f"| {name} | {b[1]} | {b[0] / 2:.2f} | {b[0]:.2f} | "
+        lines.append(f"| {name} | {b[1]} | {_row_kind(b[1])} | "
+                     f"{b[0] / 2:.2f} | {b[0]:.2f} | "
                      f"{b[2]:.4f} | {sp} |")
     geo_rf, geo_rf_n = 0.0, 0
     for name in sorted(best):
@@ -165,9 +176,11 @@ def main():
                      f"{geo_n} matrices: **{math.exp(geo / geo_n):.0f}x**.")
     if geo_rf_n:
         lines.append("")
-        lines.append(f"Geomean best-engine roofline fraction over "
+        lines.append(f"**Corpus geomean** best-row roofline fraction over "
                      f"{geo_rf_n} matrices: "
-                     f"**{math.exp(geo_rf / geo_rf_n):.3f}**.")
+                     f"**{math.exp(geo_rf / geo_rf_n):.3f}** "
+                     "(every twin counted: engine rows, labeled DENSE "
+                     "fallbacks, and CSR-baseline stand-ins alike).")
     lines.extend(workloads_summary(merged))
     with open("results/SUMMARY.md", "w") as f:
         f.write("\n".join(lines) + "\n")
