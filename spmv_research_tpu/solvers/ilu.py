@@ -433,6 +433,15 @@ class BandBlockSchedule:
 
     invD: jnp.ndarray   # (K, B, B) inverted diagonal blocks
     C: jnp.ndarray      # (K, B, Q*B) coupling strips
+    # outlier side-channel: entries beyond the Q*B band (generated twins
+    # carry scattered tails that inflate max-bandwidth far past the bulk
+    # band). They are gathered per block from the full solved prefix —
+    # few by construction (build caps them at 2% of nnz), so the 15 ns/
+    # element gather cost stays negligible. Empty (R_out=0) when the
+    # whole matrix fits the band.
+    olcols: jnp.ndarray  # (K, R_out) int32 carry-space x index (pad: sink)
+    olvals: jnp.ndarray  # (K, R_out) values (pad 0)
+    olrow: jnp.ndarray   # (K, R_out) int32 local row (pad: B)
     m: int
     B: int
     Q: int
@@ -445,7 +454,8 @@ class BandBlockSchedule:
 
 
 jax.tree_util.register_dataclass(
-    BandBlockSchedule, data_fields=["invD", "C"],
+    BandBlockSchedule, data_fields=["invD", "C", "olcols", "olvals",
+                                    "olrow"],
     meta_fields=["m", "B", "Q", "K", "lower"])
 
 
@@ -462,15 +472,25 @@ def build_band_block_schedule(T: HostCSR, lower: bool = True,
         raise BandScheduleError("empty matrix")
     rows = np.repeat(np.arange(m, dtype=np.int64), T.row_lengths())
     ja = T.ja.astype(np.int64)
-    bw = int((rows - ja).max()) if lower else int((ja - rows).max())
-    bw = max(bw, 0)
-    Q = max((bw + B - 1) // B, 1)
+    dist = (rows - ja) if lower else (ja - rows)
+    bw = max(int(dist.max()) if dist.size else 0, 0)
     K = (m + B - 1) // B
+    Q = max((bw + B - 1) // B, 1)
+    if 4 * K * B * B * (Q + 1) > max_bytes:
+        # scattered tail inflates max-bandwidth: shrink the band to the
+        # budget and push the out-of-band entries to the gather channel
+        Q = max(int(max_bytes // (4 * K * B * B)) - 1, 1)
     need = 4 * K * B * B * (Q + 1)
     if need > max_bytes:
         raise BandScheduleError(
             f"band-block densification {need / 1e9:.1f} GB over budget "
             f"(bandwidth {bw}, Q={Q})")
+    out = dist > Q * B
+    n_out = int(out.sum())
+    if n_out > max(0.02 * T.nnz, 0):
+        raise BandScheduleError(
+            f"{n_out / max(T.nnz, 1):.1%} of entries beyond the affordable "
+            f"{Q}-block band — genuinely scattered, not a banded factor")
 
     k = rows // B
     li = rows - k * B
@@ -479,13 +499,41 @@ def build_band_block_schedule(T: HostCSR, lower: bool = True,
     # column offset within [D | C] space: for lower, coupling cols are the
     # Q blocks BEFORE block k (ascending); for upper, the Q blocks after
     jrel = ja - (k - Q) * B if lower else ja - k * B
-    dmask = ((jrel >= Q * B) & (jrel < (Q + 1) * B)) if lower \
-        else (jrel < B)
-    drel = (jrel - Q * B) if lower else jrel
+    dmask = (((jrel >= Q * B) & (jrel < (Q + 1) * B)) if lower
+             else (jrel < B)) & ~out
+    drel = np.where(dmask, (jrel - Q * B) if lower else jrel, 0)
     np.add.at(D, (k[dmask], li[dmask], drel[dmask]), T.a[dmask])
-    cmask = ~dmask
+    cmask = ~dmask & ~out
     crel = jrel[cmask] if lower else jrel[cmask] - B
     np.add.at(C, (k[cmask], li[cmask], crel), T.a[cmask])
+
+    # outlier side-channel (carry-space layout: see _sptrsv_band)
+    if n_out:
+        ko = k[out]
+        cnt = np.bincount(ko, minlength=K)
+        R_out = int(cnt.max() + 7) // 8 * 8
+        if R_out > 8192:
+            raise BandScheduleError(
+                f"outlier row burst {cnt.max()} per block — too scattered")
+        sink = K * B + Q * B
+        olcols = np.full((K, R_out), sink, np.int64)
+        olvals = np.zeros((K, R_out), np.float64)
+        olrow = np.full((K, R_out), B, np.int64)
+        slot = np.zeros(K, np.int64)
+        off = Q * B if lower else 0
+        jo, lio, vo = ja[out], li[out], T.a[out]
+        for idx in range(n_out):
+            kk = ko[idx]
+            s = slot[kk]
+            slot[kk] = s + 1
+            olcols[kk, s] = off + jo[idx]
+            olvals[kk, s] = vo[idx]
+            olrow[kk, s] = lio[idx]
+    else:
+        R_out = 0
+        olcols = np.zeros((K, 0), np.int64)
+        olvals = np.zeros((K, 0), np.float64)
+        olrow = np.zeros((K, 0), np.int64)
 
     # padding rows of the last block solve to 0 via a unit diagonal
     pad = K * B - m
@@ -498,27 +546,43 @@ def build_band_block_schedule(T: HostCSR, lower: bool = True,
     return BandBlockSchedule(
         invD=jnp.asarray(invD.astype(np.dtype(dtype))),
         C=jnp.asarray(C.astype(np.dtype(dtype))),
+        olcols=jnp.asarray(olcols.astype(INDEX_DTYPE)),
+        olvals=jnp.asarray(olvals.astype(np.dtype(dtype))),
+        olrow=jnp.asarray(olrow.astype(INDEX_DTYPE)),
         m=m, B=B, Q=Q, K=K, lower=lower)
 
 
 def _sptrsv_band(sched: BandBlockSchedule, b: jnp.ndarray) -> jnp.ndarray:
+    """Carry-space layout: the carried x buffer is
+    lower:  [Q*B zeros | block 0 ... block K-1 | sink]
+    upper:  [block 0 ... block K-1 | Q*B zeros | sink]
+    so block k's coupling window is always a contiguous Q*B slice and
+    the outlier gather indexes solved blocks directly."""
     B, Q, K, m = sched.B, sched.Q, sched.K, sched.m
     dt = sched.invD.dtype
     b2 = jnp.pad(jnp.asarray(b, dt), (0, K * B - m)).reshape(K, B)
+    has_out = sched.olvals.shape[1] > 0
+    off = Q * B if sched.lower else 0
 
-    def step(w, xs):
-        invD_k, C_k, b_k = xs
+    def step(xf, xs):
+        invD_k, C_k, b_k, kk, oc, ov, orw = xs
+        wstart = kk * B if sched.lower else (kk + 1) * B
+        w = jax.lax.dynamic_slice(xf, (wstart,), (Q * B,))
         t = b_k - C_k @ w
+        if has_out:
+            g = ov * xf.at[oc].get(mode="promise_in_bounds")
+            t = t - jax.ops.segment_sum(g, orw, num_segments=B + 1)[:B]
         x_k = invD_k @ t
-        # lower walks down: window is [x_{k-Q}, ..., x_{k-1}] ascending;
-        # upper walks up: window is [x_{k+1}, ..., x_{k+Q}] ascending
-        w = (jnp.concatenate([w[B:], x_k]) if sched.lower
-             else jnp.concatenate([x_k, w[:-B]]))
-        return w, x_k
+        xf = jax.lax.dynamic_update_slice(xf, x_k, (off + kk * B,))
+        return xf, x_k
 
-    _, ys = jax.lax.scan(step, jnp.zeros(Q * B, dt),
-                         (sched.invD, sched.C, b2),
-                         reverse=not sched.lower)
+    xf0 = jnp.zeros(K * B + Q * B + 1, dt)
+    ks = jnp.arange(K, dtype=jnp.int32)
+    _, ys = jax.lax.scan(
+        step, xf0,
+        (sched.invD, sched.C, b2, ks, sched.olcols, sched.olvals,
+         sched.olrow),
+        reverse=not sched.lower)
     return ys.reshape(-1)[:m]
 
 

@@ -65,3 +65,40 @@ def test_band_budget_gate_falls_back():
     x = np.asarray(sptrsv(s, b), np.float64)
     ref = spla.spsolve_triangular(A.tocsr(), b, lower=True)
     np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_band_outlier_channel():
+    # narrow band + a few far-reaching entries: band shrinks to budget and
+    # the outliers ride the gather channel
+    m = 1200
+    A = _banded_lower(m, 60, seed=21).tolil()
+    rng = np.random.default_rng(4)
+    for i in rng.integers(700, m, 15):
+        A[int(i), int(rng.integers(0, 80))] = rng.uniform(0.1, 0.5)
+    A = A.tocsr()
+    host = HostCSR.from_scipy(A)
+    # budget allows Q=1 only (K=10 blocks of 128): force the outlier path
+    s = build_band_block_schedule(host, lower=True, B=128,
+                                  max_bytes=10 * 128 * 128 * 4 * 2 + 64)
+    assert s.olvals.shape[1] > 0 and s.Q == 1
+    b = np.random.default_rng(8).uniform(-1, 1, m)
+    x = np.asarray(sptrsv(s, b), np.float64)
+    ref = spla.spsolve_triangular(A, b, lower=True)
+    np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_band_outlier_upper():
+    m = 900
+    L = _banded_lower(m, 50, seed=31).tolil()
+    rng = np.random.default_rng(5)
+    for i in rng.integers(0, 150, 10):
+        L[int(rng.integers(750, m)), int(i)] = rng.uniform(0.1, 0.5)
+    U = sp.csr_matrix(L.tocsr().T)
+    host = HostCSR.from_scipy(U)
+    s = build_band_block_schedule(host, lower=False, B=128,
+                                  max_bytes=8 * 128 * 128 * 4 * 2 + 64)
+    assert s.olvals.shape[1] > 0
+    b = np.random.default_rng(9).uniform(-1, 1, m)
+    x = np.asarray(sptrsv(s, b), np.float64)
+    ref = spla.spsolve_triangular(U, b, lower=False)
+    np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-4)
