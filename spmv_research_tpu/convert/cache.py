@@ -37,7 +37,7 @@ def matrix_digest(csr: HostCSR) -> str:
     return h.hexdigest()[:24]
 
 
-SCHEMA_VERSION = 17  # bump when any format pytree's field set changes
+SCHEMA_VERSION = 18  # bump when any format pytree's field set changes
                      # (14: SellW stage classes; 15: part_cap default 8)
 
 

@@ -87,8 +87,7 @@ class SellWBuildError(ValueError):
     pass
 
 
-@partial(_register, data_fields=("word", "vals", "wrow", "yidx",
-                                 "fbase"),
+@partial(_register, data_fields=("word", "vals", "wrow", "yidx"),
          meta_fields=("shape", "nnz", "nnz_expanded", "nchunks", "x_rows",
                       "K", "stages", "stream_wins", "G", "classes"))
 @dataclasses.dataclass(frozen=True)
@@ -97,10 +96,6 @@ class SellW:
     vals: jnp.ndarray   # (8·nchunks_pad, 128) values (0 in padding)
     wrow: jnp.ndarray   # (8·nchunks_pad,) int32 per-sublane x2d row
     yidx: jnp.ndarray   # (K, nblocks) int32 chunk id per y block (nchunks=0)
-    # uniform-fill metadata, derived from wrow at emit: chunks binding all
-    # 8 sublanes to ONE x2d row (63% on cant — bins wider than 8 sublanes)
-    # fill with a single broadcast row read instead of 8 copies
-    fbase: jnp.ndarray  # (nchunks_pad,) int32 uniform x2d row, -1 = general
     shape: Tuple[int, int]
     nnz: int
     nnz_expanded: int
@@ -434,19 +429,8 @@ def _emit_sellw(word_u, vals_u, wrow_u, chunk_pair, chunk_bids, max_part,
         yidx[slot[b], b] = row
         slot[b] += 1
 
-    # uniform-fill metadata (see SellW.fbase): chunks binding all 8
-    # sublanes to ONE x2d row (63% on cant — bins wider than 8 sublanes)
-    # fill with a single row read broadcast instead of 8 copies. (A
-    # general span<8 block-read + in-vreg sublane gather was measured
-    # SLOWER than the copy loop on v5e — take_along_axis(axis=0) lowers
-    # to a generic path; lab/out r5 201a: cant 22.3 vs 34.1 Gnnz/s.)
-    wr8 = wrow.reshape(npad, SUB).astype(np.int64)
-    uniform = (wr8 == wr8[:, :1]).all(axis=1)
-    fbase = np.where(uniform, wr8[:, 0], -1)
-
     A = SellW(word=jnp.asarray(word.view(np.int32)),
               vals=jnp.asarray(vals), wrow=jnp.asarray(wrow),
-              fbase=jnp.asarray(fbase.astype(np.int32)),
               yidx=jnp.asarray(yidx), shape=(m, n), nnz=nnz,
               nnz_expanded=nnz_expanded, nchunks=nchunks,
               x_rows=x_rows, K=K,
@@ -503,40 +487,27 @@ def _extract_planes(G, nB, w, E):
                     .reshape(nB, SUB, LANES), axis=1) for g in range(G)]
 
 
-def _sellw_kernel(nB, stages, G, base, wrow_ref, fbase_ref,
-                  word_ref, val_ref, x2d_ref, *orefs_wins):
+def _sellw_kernel(nB, stages, G, base, wrow_ref, word_ref, val_ref,
+                  x2d_ref, *orefs_wins):
     """One grid step: nB chunks, all stages batched over (8·nB, 128).
-    ``base`` = the stage class's first chunk (wrow/fbase passed whole).
+    ``base`` = the stage class's first chunk (wrow is passed whole).
 
-    Fill: chunks binding all 8 sublanes to one x2d row (fbase >= 0) do a
-    single row read broadcast to (8,128); the rest run the per-sublane
-    copy loop. (The general span<8 block-read + in-vreg sublane gather
-    measured SLOWER on v5e — see the emit-side note.)"""
+    Fill: one flat unrolled stream of (1,128) dynamic row copies. Two
+    batching attempts measured SLOWER on v5e and were reverted (round-5
+    201a/201c labs): a span<8 block-read + in-vreg sublane gather
+    (take_along_axis(axis=0) lowers to a generic path) AND a per-chunk
+    pl.when uniform-broadcast — both landed ~22 vs 34 Gnnz/s on cant;
+    the branchy per-chunk loop itself defeats Mosaic's scheduling of
+    the copy stream."""
     orefs, wins_ref = orefs_wins[:G], orefs_wins[G]
     i = pl.program_id(0)
 
-    def fill_chunk(j, _):
-        c = base + i * nB + j
-        fb = fbase_ref[c]
-
-        @pl.when(fb >= 0)
-        def _():
-            row = x2d_ref[pl.ds(fb, 1), :]
-            wins_ref[pl.ds(j * SUB, SUB), :] = jnp.broadcast_to(
-                row, (SUB, LANES))
-
-        @pl.when(fb < 0)
-        def _():
-            def fill(s, _):
-                wr = wrow_ref[c * SUB + s]
-                wins_ref[pl.ds(j * SUB + s, 1), :] = x2d_ref[pl.ds(wr, 1), :]
-                return 0
-
-            jax.lax.fori_loop(0, SUB, fill, 0, unroll=True)
-
+    def fill(j, _):
+        wr = wrow_ref[(base + i * nB) * SUB + j]
+        wins_ref[pl.ds(j, 1), :] = x2d_ref[pl.ds(wr, 1), :]
         return 0
 
-    jax.lax.fori_loop(0, nB, fill_chunk, 0, unroll=True)
+    jax.lax.fori_loop(0, nB * SUB, fill, 0, unroll=True)
     w = word_ref[:]
     v = jnp.take_along_axis(wins_ref[:], w & 0x7F, axis=1) * val_ref[:]
     for k in range(stages):
@@ -604,9 +575,7 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
                 partial(_sellw_kernel, nB, stages, A.G, start),
                 out_shape=oshape, grid=(cnt // nB,),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                    vspec, vspec,
+                    pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec,
                     pl.BlockSpec((A.x_rows, LANES), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
@@ -614,7 +583,7 @@ def spmv_sellw_pallas(A: SellW, x: jnp.ndarray) -> jnp.ndarray:
                 scratch_shapes=[pltpu.VMEM((nB * SUB, LANES),
                                            A.vals.dtype)],
                 compiler_params=params, interpret=interpret,
-            )(A.wrow, A.fbase, A.word, A.vals, x2d)
+            )(A.wrow, A.word, A.vals, x2d)
         parts.append(planes)
     if len(parts) == 1:
         planes = parts[0]
@@ -662,41 +631,23 @@ def _spmm_x_planes(A: SellW, X, dtype, kt):
     return jnp.transpose(Xp.reshape(A.x_rows, LANES, Kp), (2, 0, 1))
 
 
-def _sellw_spmm_kernel(nB, stages, G, wrow_ref, fbase_ref,
-                       word_ref, val_ref, *refs):
+def _sellw_spmm_kernel(nB, stages, G, wrow_ref, word_ref, val_ref,
+                       *refs):
     """One grid step, one k-tile of 8: per k, the SpMV pipeline re-runs on
     the k-th x plane while word/vals stay VMEM-resident. Outputs are
-    k-major within the step's block: rows [kk·nB, (kk+1)·nB).
-    Window fills use the same uniform-broadcast path as the SpMV kernel."""
+    k-major within the step's block: rows [kk·nB, (kk+1)·nB)."""
     xrefs, orefs, wins_ref = refs[:8], refs[8:8 + G], refs[8 + G]
     i = pl.program_id(0)
     w = word_ref[:]
     eidx = (w >> 14) & 0x7F
     lane = w & 0x7F
     for kk in range(8):
-        def fill_chunk(j, _, kk=kk):
-            c = i * nB + j
-            fb = fbase_ref[c]
-
-            @pl.when(fb >= 0)
-            def _():
-                row = xrefs[kk][pl.ds(fb, 1), :]
-                wins_ref[pl.ds(j * SUB, SUB), :] = jnp.broadcast_to(
-                    row, (SUB, LANES))
-
-            @pl.when(fb < 0)
-            def _():
-                def fill(s, _):
-                    wr = wrow_ref[c * SUB + s]
-                    wins_ref[pl.ds(j * SUB + s, 1), :] = \
-                        xrefs[kk][pl.ds(wr, 1), :]
-                    return 0
-
-                jax.lax.fori_loop(0, SUB, fill, 0, unroll=True)
-
+        def fill(j, _, kk=kk):
+            wr = wrow_ref[i * nB * SUB + j]
+            wins_ref[pl.ds(j, 1), :] = xrefs[kk][pl.ds(wr, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, nB, fill_chunk, 0, unroll=True)
+        jax.lax.fori_loop(0, nB * SUB, fill, 0, unroll=True)
         v = jnp.take_along_axis(wins_ref[:], lane, axis=1) * val_ref[:]
         for k in range(stages):
             guard = ((w >> (7 + k)) & 1) != 0
@@ -733,15 +684,14 @@ def spmm_sellw_pallas(A: SellW, X: jnp.ndarray) -> jnp.ndarray:
                 jax.ShapeDtypeStruct((8 * nch, LANES), A.vals.dtype)
                 for _ in range(A.G)),
             grid=(nch // nB,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec]
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec]
             + [xspec] * 8,
             out_specs=(ospec,) * A.G,
             scratch_shapes=[pltpu.VMEM((nB * SUB, LANES), A.vals.dtype)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(A.wrow, A.fbase, A.word, A.vals,
+        )(A.wrow, A.word, A.vals,
           *[Xp[8 * t + kk] for kk in range(8)])
         # un-interleave the k-major step blocks -> (8, nch, 128)
         planes = [jnp.transpose(o.reshape(nch // nB, 8, nB, LANES),
