@@ -104,7 +104,7 @@ class ClosGX:
 
 def build_clos_gather_xl(csr: HostCSR, dtype=jnp.float32,
                          chunk_N: int = 1 << 20,
-                         max_chunks: int = 256) -> ClosGX:
+                         max_chunks: int = 1024) -> ClosGX:
     """Build stacked uniform chunk programs for a matrix too large for the
     fused chunked path. Chunk row boundaries are 128-aligned."""
     from .clos_gather import build_clos_gather, _closg_need, _rows_slice
@@ -139,6 +139,17 @@ def build_clos_gather_xl(csr: HostCSR, dtype=jnp.float32,
             raise ClosRoutingError(
                 f"more than {max_chunks} chunks after "
                 f"{r1}/{m} rows — XL cap exceeded")
+        # early plane-byte projection so scattered blow-ups (delaunay
+        # class: ~128-row chunks) fail in seconds, not after a full
+        # split — the binding limit is HBM plane bytes, not chunk count
+        # (xl160m legitimately needs ~290 chunks at 4.6 GB)
+        if len(splits) - 1 == 64 and r1 < m:
+            proj = 64 * m / max(r1, 1) * 4 * chunk_N * 4
+            if proj > 12 << 30:
+                raise ClosRoutingError(
+                    f"projected CLOSGX planes ~{proj / 1e9:.0f} GB from "
+                    f"the first 64 chunks ({r1}/{m} rows) — scattered "
+                    "slot blow-up, outside the engine")
 
     # plane-budget guard BEFORE any chunk builds: on ultra-sparse wide
     # matrices (delaunay_n22 class: ~5 nnz/row over n=4M) the column-block
