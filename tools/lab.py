@@ -30,7 +30,8 @@ QUEUE, DONE, OUT = [os.path.join(LAB, d) for d in ("queue", "done", "out")]
 
 def fatal(e) -> bool:
     s = f"{type(e).__name__}: {e}"
-    return "UNAVAILABLE" in s or "worker process crashed" in s
+    return ("UNAVAILABLE" in s or "worker process crashed" in s
+            or "RESOURCE_EXHAUSTED" in s)
 
 
 def main():
